@@ -1,0 +1,102 @@
+"""EDSR encoder (reference: LINF-LP/models/edsr.py, from EDSR-PyTorch).
+
+Functional NHWC: head conv3x3 -> n_resblocks x (conv-relu-conv, residual
+scaled) -> tail conv3x3 + global skip.  With ``no_upsampling=True`` (the only
+mode the LINF configs use, configs/train/*.yaml) the trunk features are the
+output (out_dim = n_feats); otherwise a pixel-shuffle Upsampler + final conv
+produce RGB.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from bfsr_tpu.models.base import Model
+from bfsr_tpu.ops import nn as fnn
+from bfsr_tpu.registry import register
+
+
+def init_edsr(key, n_resblocks=16, n_feats=64, n_colors=3, scale=2, no_upsampling=True):
+    keys = jax.random.split(key, n_resblocks * 2 + 8)
+    p = {
+        "head": fnn.init_conv(keys[0], 3, 3, n_colors, n_feats),
+        "body": [
+            {
+                "conv1": fnn.init_conv(keys[1 + 2 * i], 3, 3, n_feats, n_feats),
+                "conv2": fnn.init_conv(keys[2 + 2 * i], 3, 3, n_feats, n_feats),
+            }
+            for i in range(n_resblocks)
+        ],
+        "body_tail": fnn.init_conv(keys[1 + 2 * n_resblocks], 3, 3, n_feats, n_feats),
+    }
+    if not no_upsampling:
+        ups = []
+        k = 2 + 2 * n_resblocks
+        if scale & (scale - 1) == 0:
+            s = scale
+            while s > 1:
+                ups.append(fnn.init_conv(keys[k], 3, 3, n_feats, 4 * n_feats))
+                k += 1
+                s //= 2
+        elif scale == 3:
+            ups.append(fnn.init_conv(keys[k], 3, 3, n_feats, 9 * n_feats))
+            k += 1
+        else:
+            raise NotImplementedError(scale)
+        p["upsampler"] = ups
+        p["tail"] = fnn.init_conv(keys[k], 3, 3, n_feats, n_colors)
+    return p
+
+
+def edsr_apply(params, x, res_scale=1.0, no_upsampling=True, scale=2):
+    """x: (B, H, W, 3) -> features (B, H, W, n_feats) or RGB."""
+    x = fnn.conv2d(x, params["head"])
+    res = x
+    for blk in params["body"]:
+        h = fnn.relu(fnn.conv2d(res, blk["conv1"]))
+        h = fnn.conv2d(h, blk["conv2"])
+        res = res + h * res_scale
+    res = fnn.conv2d(res, params["body_tail"])
+    res = res + x
+    if no_upsampling:
+        return res
+    for up in params["upsampler"]:
+        res = fnn.pixel_shuffle(fnn.conv2d(res, up), 3 if scale == 3 else 2)
+    return fnn.conv2d(res, params["tail"])
+
+
+class _EDSR(Model):
+    def __init__(self, n_resblocks, n_feats, res_scale, scale, no_upsampling, rgb_range, name):
+        super().__init__()
+        self.registry_name = name
+        self.args = dict(
+            n_resblocks=n_resblocks, n_feats=n_feats, res_scale=res_scale,
+            scale=scale, no_upsampling=no_upsampling, rgb_range=rgb_range,
+        )
+        self.n_resblocks = n_resblocks
+        self.n_feats = n_feats
+        self.res_scale = res_scale
+        self.scale = scale
+        self.no_upsampling = no_upsampling
+        self.out_dim = n_feats if no_upsampling else 3
+        self.params = init_edsr(
+            jax.random.PRNGKey(0), n_resblocks, n_feats, 3, scale, no_upsampling
+        )
+
+    def apply(self, params, x):
+        return edsr_apply(params, x, self.res_scale, self.no_upsampling, self.scale)
+
+    def __call__(self, x):
+        return self.apply(self.params, x)
+
+
+@register("edsr-baseline")
+def make_edsr_baseline(n_resblocks=16, n_feats=64, res_scale=1, scale=2,
+                       no_upsampling=False, rgb_range=1):
+    return _EDSR(n_resblocks, n_feats, res_scale, scale, no_upsampling, rgb_range,
+                 "edsr-baseline")
+
+
+@register("edsr")
+def make_edsr(n_resblocks=32, n_feats=256, res_scale=0.1, scale=2,
+              no_upsampling=False, rgb_range=1):
+    return _EDSR(n_resblocks, n_feats, res_scale, scale, no_upsampling, rgb_range, "edsr")

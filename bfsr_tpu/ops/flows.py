@@ -1,0 +1,324 @@
+"""Glow-style flow primitives (NHWC, functional, f32 log-dets).
+
+These are the building blocks of the SRFlow conditional-flow stack
+(reference modules: FlowActNorms.py, Permutations.py,
+FlowAffineCouplingsAblation.py, Split.py, flow.py) re-designed as pure
+functions with explicit ``(y, logdet)`` dataflow:
+
+* every transform takes/returns NHWC activations,
+* logdet is a per-sample ``(B,)`` f32 vector accumulated functionally,
+* inverses never call a linear solver at runtime: the checkpoint loader
+  precomputes ``w_inv``/``logabsdet`` for the frozen 1x1 convs (the reference
+  calls ``torch.inverse(W.double())`` on every decode step,
+  Permutations.py:41-42 — per-call O(C^3) work this design moves to load
+  time).
+
+Channel-ordering notes (decide checkpoint parity):
+
+* ``squeeze2d`` matches torch's (C, fy, fx) channel nesting even though we
+  are NHWC (flow.py:122-135).
+* ``split_feature('cross')`` is the even/odd channel interleave
+  (thops.py:52-61).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from bfsr_tpu.ops import nn as fnn
+
+LOG2PI = math.log(2 * math.pi)
+AFFINE_EPS = 1e-4
+
+
+def _pixels(x):
+    return x.shape[1] * x.shape[2]
+
+
+# ---------------------------------------------------------------------------
+# ActNorm
+# ---------------------------------------------------------------------------
+
+
+def actnorm(x, p, logdet=None, reverse=False):
+    """Per-channel affine y = (x + bias) * exp(logs); p = {bias, logs} (C,).
+
+    Data-dependent init is a checkpoint-conversion-time concern (the
+    reference initializes from the first batch, FlowActNorms.py:45-59; our
+    trainer primes it explicitly via ``actnorm_init_stats``).
+    """
+    bias = p["bias"].astype(jnp.float32)
+    logs = p["logs"].astype(jnp.float32)
+    if not reverse:
+        y = (x + bias) * jnp.exp(logs)
+    else:
+        y = x * jnp.exp(-logs) - bias
+    if logdet is not None:
+        d = jnp.sum(logs) * _pixels(x)
+        logdet = logdet + (-d if reverse else d)
+    return y, logdet
+
+
+def actnorm_init_stats(x):
+    """Compute (bias, logs) that whiten x per channel (reference
+    FlowActNorms.py:53-58)."""
+    mean = jnp.mean(x, axis=(0, 1, 2))
+    var = jnp.mean((x - mean) ** 2, axis=(0, 1, 2))
+    return {"bias": -mean, "logs": -jnp.log(jnp.sqrt(var) + 1e-6)}
+
+
+# ---------------------------------------------------------------------------
+# Invertible 1x1 convolution
+# ---------------------------------------------------------------------------
+
+
+def invconv1x1(x, p, logdet=None, reverse=False):
+    """1x1 invertible conv.  p = {'w': (C, C) torch-layout (out, in),
+    optional 'w_inv', 'logabsdet'}.
+
+    Forward y_o = sum_i w[o, i] x_i  ==  x @ w.T in NHWC.
+    """
+    w = p["w"].astype(jnp.float32)
+    if "logabsdet" in p:
+        dlog = p["logabsdet"].astype(jnp.float32)
+    else:
+        dlog = jnp.linalg.slogdet(w)[1]
+    hi = jax.lax.Precision.HIGHEST
+    if not reverse:
+        y = jnp.einsum("bhwi,oi->bhwo", x, w,
+                       preferred_element_type=jnp.float32, precision=hi)
+    else:
+        w_inv = p.get("w_inv")
+        if w_inv is None:
+            w_inv = jnp.linalg.inv(w)
+        y = jnp.einsum("bhwi,oi->bhwo", x, w_inv.astype(jnp.float32),
+                       preferred_element_type=jnp.float32, precision=hi)
+    if logdet is not None:
+        d = dlog * _pixels(x)
+        logdet = logdet + (-d if reverse else d)
+    return y.astype(x.dtype), logdet
+
+
+def invconv_cache(w):
+    """Host-side cache for a frozen invconv weight: inverse + slogdet in
+    f64 (mirrors the precision of the reference's double() inverse)."""
+    import numpy as np
+
+    w64 = np.asarray(w, dtype=np.float64)
+    return {
+        "w": jnp.asarray(w, jnp.float32),
+        "w_inv": jnp.asarray(np.linalg.inv(w64), jnp.float32),
+        "logabsdet": jnp.asarray(np.linalg.slogdet(w64)[1], jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# squeeze / unsqueeze
+# ---------------------------------------------------------------------------
+
+
+def squeeze2d(x, factor=2):
+    if factor == 1:
+        return x
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // factor, factor, W // factor, factor, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # B, H/f, W/f, C, fy, fx
+    return x.reshape(B, H // factor, W // factor, C * factor * factor)
+
+
+def unsqueeze2d(x, factor=2):
+    if factor == 1:
+        return x
+    B, H, W, C = x.shape
+    f2 = factor * factor
+    x = x.reshape(B, H, W, C // f2, factor, factor)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H, fy, W, fx, C/f2
+    return x.reshape(B, H * factor, W * factor, C // f2)
+
+
+# ---------------------------------------------------------------------------
+# channel split/concat helpers (thops.py:52-64)
+# ---------------------------------------------------------------------------
+
+
+def split_feature(h, kind="split"):
+    c = h.shape[-1]
+    if kind == "split":
+        return h[..., : c // 2], h[..., c // 2:]
+    if kind == "cross":
+        return h[..., 0::2], h[..., 1::2]
+    raise ValueError(kind)
+
+
+def cat_feature(a, b):
+    return jnp.concatenate([a, b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian base density (flow.py:86-119)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_likelihood(x, mean=None, logs=None):
+    if mean is None and logs is None:
+        return -0.5 * (x ** 2 + LOG2PI)
+    return -0.5 * (logs * 2.0 + ((x - mean) ** 2) * jnp.exp(-2.0 * logs) + LOG2PI)
+
+
+def gaussian_logp(x, mean=None, logs=None):
+    """Sum of elementwise log-likelihood over all but the batch axis."""
+    ll = gaussian_likelihood(x, mean, logs)
+    return jnp.sum(ll.astype(jnp.float32), axis=tuple(range(1, x.ndim)))
+
+
+def gaussian_sample(key, mean, logs, eps_std=1.0):
+    eps = jax.random.normal(key, mean.shape, mean.dtype) * eps_std
+    return mean + jnp.exp(logs) * eps
+
+
+# ---------------------------------------------------------------------------
+# flow-internal conv nets (flow.py:26-83)
+# ---------------------------------------------------------------------------
+
+
+def flow_conv(x, p):
+    """Conv2d + built-in actnorm (flow.Conv2d, do_actnorm=True)."""
+    y = fnn.conv2d(x, {"w": p["w"]})
+    y, _ = actnorm(y, p["actnorm"])
+    return y
+
+
+def flow_conv_zeros(x, p, logscale_factor=3.0):
+    """Zero-initialized conv scaled by exp(logs*3) (flow.Conv2dZeros)."""
+    y = fnn.conv2d(x, {"w": p["w"], "b": p["b"]})
+    return y * jnp.exp(p["logs"] * logscale_factor)
+
+
+def init_flow_conv(key, kh, kw, cin, cout, weight_std=0.05):
+    p = fnn.init_conv(key, kh, kw, cin, cout, bias=False, mode="normal", gain=weight_std)
+    p["actnorm"] = {"bias": jnp.zeros((cout,), jnp.float32), "logs": jnp.zeros((cout,), jnp.float32)}
+    return p
+
+
+def init_flow_conv_zeros(key, kh, kw, cin, cout):
+    return {
+        "w": jnp.zeros((kh, kw, cin, cout), jnp.float32),
+        "b": jnp.zeros((cout,), jnp.float32),
+        "logs": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def flow_f(x, p):
+    """The coupling's F(): conv3x3+an -> relu -> conv1x1+an -> relu ->
+    convZeros (FlowAffineCouplingsAblation.py:127-135)."""
+    h = fnn.relu(flow_conv(x, p["conv1"]))
+    h = fnn.relu(flow_conv(h, p["conv2"]))
+    return flow_conv_zeros(h, p["out"])
+
+
+def init_flow_f(key, cin, cout, hidden=64, kernel_hidden=1):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv1": init_flow_conv(k1, 3, 3, cin, hidden),
+        "conv2": init_flow_conv(k2, kernel_hidden, kernel_hidden, hidden, hidden),
+        "out": init_flow_conv_zeros(k3, 3, 3, hidden, cout),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Conditional affine coupling (CondAffineSeparatedAndCond)
+# ---------------------------------------------------------------------------
+
+
+def _scale_shift(h, eps=AFFINE_EPS):
+    shift, scale = split_feature(h, "cross")
+    scale = jax.nn.sigmoid(scale + 2.0) + eps
+    return scale, shift
+
+
+def cond_affine(x, ft, p, logdet=None, reverse=False):
+    """Two-part conditional affine coupling
+    (FlowAffineCouplingsAblation.py:57-97).
+
+    p = {'fFeatures': flow_f params (ft -> 2C), 'fAffine': flow_f params
+    ([z1, ft] -> 2*C_co)}.  channels_for_nn = C//2 passes through.
+    """
+    c = x.shape[-1]
+    c_nn = c // 2
+    if not reverse:
+        scale_ft, shift_ft = _scale_shift(flow_f(ft, p["fFeatures"]))
+        z = (x + shift_ft) * scale_ft
+        if logdet is not None:
+            logdet = logdet + _sum_log(scale_ft)
+        z1, z2 = z[..., :c_nn], z[..., c_nn:]
+        scale, shift = _scale_shift(flow_f(jnp.concatenate([z1, ft], -1), p["fAffine"]))
+        z2 = (z2 + shift) * scale
+        if logdet is not None:
+            logdet = logdet + _sum_log(scale)
+        return jnp.concatenate([z1, z2], -1), logdet
+    z1, z2 = x[..., :c_nn], x[..., c_nn:]
+    scale, shift = _scale_shift(flow_f(jnp.concatenate([z1, ft], -1), p["fAffine"]))
+    z2 = z2 / scale - shift
+    z = jnp.concatenate([z1, z2], -1)
+    if logdet is not None:
+        logdet = logdet - _sum_log(scale)
+    scale_ft, shift_ft = _scale_shift(flow_f(ft, p["fFeatures"]))
+    z = z / scale_ft - shift_ft
+    if logdet is not None:
+        logdet = logdet - _sum_log(scale_ft)
+    return z, logdet
+
+
+def _sum_log(scale):
+    return jnp.sum(jnp.log(scale).astype(jnp.float32), axis=(1, 2, 3))
+
+
+def init_cond_affine(key, c, c_cond, hidden=64):
+    c_nn = c // 2
+    c_co = c - c_nn
+    k1, k2 = jax.random.split(key)
+    return {
+        "fFeatures": init_flow_f(k1, c_cond, c * 2, hidden),
+        "fAffine": init_flow_f(k2, c_nn + c_cond, c_co * 2, hidden),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Split2d with learned conditional prior (Split.py:26-86)
+# ---------------------------------------------------------------------------
+
+
+def split2d_prior(z1, ft, p):
+    h = flow_conv_zeros(jnp.concatenate([z1, ft], -1) if ft is not None else z1, p["conv"])
+    mean, logs = split_feature(h, "cross")
+    return mean, logs
+
+
+def split2d(x, p, logdet, ft=None, reverse=False, eps=None, eps_std=None,
+            key=None, consume_ratio=0.5, logs_eps=0.0):
+    """Forward: split channels, emit eps for the consumed half.
+    Reverse: reconstruct the consumed half from eps (or sample)."""
+    c = x.shape[-1]
+    n_consume = int(round(c * consume_ratio)) if not reverse else None
+    if not reverse:
+        n_pass = c - n_consume
+        z1, z2 = x[..., :n_pass], x[..., n_pass:]
+        mean, logs = split2d_prior(z1, ft, p)
+        out_eps = (z2 - mean) / (jnp.exp(logs) + logs_eps)
+        logdet = logdet + gaussian_logp(z2, mean, logs)
+        return z1, logdet, out_eps
+    z1 = x
+    mean, logs = split2d_prior(z1, ft, p)
+    if eps is None:
+        eps = jax.random.normal(key, mean.shape, mean.dtype) * (eps_std if eps_std is not None else 1.0)
+    z2 = mean + (jnp.exp(logs) + logs_eps) * eps
+    z = jnp.concatenate([z1, z2], -1)
+    logdet = logdet - gaussian_logp(z2, mean, logs)
+    return z, logdet, None
+
+
+def init_split2d(key, c, cond_channels=0, consume_ratio=0.5):
+    n_consume = int(round(c * consume_ratio))
+    n_pass = c - n_consume
+    return {"conv": init_flow_conv_zeros(key, 3, 3, n_pass + cond_channels, n_consume * 2)}

@@ -1,0 +1,135 @@
+"""Resampling ops with PyTorch numerical semantics, NHWC layout.
+
+The reference pipeline leans on three torch ops whose exact coordinate
+conventions decide metric parity:
+
+* ``F.interpolate(mode='bilinear', align_corners=False)`` — residual
+  construction in the dataset wrappers (wrappers.py:132-134) and shape
+  adaptation at eval (LINF-LP/test.py:149,161).
+* ``F.grid_sample(mode='nearest', align_corners=False)`` — 4-corner local
+  ensemble feature lookup (linf.py:68,78).
+* ``F.grid_sample(mode='bilinear', padding_mode='border',
+  align_corners=False)`` — adding the upsampled LR image back (linf.py:193).
+
+All functions here take NHWC arrays.  Grid/coord arguments use the LINF
+convention: ``coord[..., 0]`` indexes the *height* axis, ``coord[..., 1]`` the
+*width* axis, both in [-1, 1] (the reference stores coords this way and flips
+to torch's (x, y) order at each grid_sample call site; we skip the flip).
+
+Nearest rounding matches torch's ``nearbyint`` (round half to even) via
+``jnp.rint``; the reference's 1e-6 eps-shifts keep queries off exact ties.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size):
+    """align_corners=False: x_pix = ((x + 1) * size - 1) / 2."""
+    return ((coord + 1.0) * size - 1.0) / 2.0
+
+
+def grid_sample_nearest(x, coord):
+    """Nearest grid sample, zero padding, align_corners=False.
+
+    x: (B, H, W, C); coord: (B, Hg, Wg, 2) with (h, w) ordering in [-1, 1].
+    Returns (B, Hg, Wg, C).
+    """
+    B, H, W, C = x.shape
+    iy = jnp.rint(_unnormalize(coord[..., 0], H)).astype(jnp.int32)
+    ix = jnp.rint(_unnormalize(coord[..., 1], W)).astype(jnp.int32)
+    inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+    iy = jnp.clip(iy, 0, H - 1)
+    ix = jnp.clip(ix, 0, W - 1)
+
+    def gather_one(img, yy, xx):
+        return img[yy, xx]  # (Hg, Wg, C)
+
+    out = jax.vmap(gather_one)(x, iy, ix)
+    return jnp.where(inb[..., None], out, 0.0)
+
+
+def grid_sample_bilinear(x, coord, padding_mode="border"):
+    """Bilinear grid sample, align_corners=False.
+
+    padding_mode: 'border' (clamp; the reference's residual-add mode) or
+    'zeros'.  x: (B,H,W,C); coord: (B,Hg,Wg,2) (h, w) order.
+    """
+    B, H, W, C = x.shape
+    fy = _unnormalize(coord[..., 0], H)
+    fx = _unnormalize(coord[..., 1], W)
+    if padding_mode == "border":
+        fy = jnp.clip(fy, 0.0, H - 1.0)
+        fx = jnp.clip(fx, 0.0, W - 1.0)
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    wy = fy - y0
+    wx = fx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def corner(iy, ix):
+        inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        iyc = jnp.clip(iy, 0, H - 1)
+        ixc = jnp.clip(ix, 0, W - 1)
+        v = jax.vmap(lambda img, yy, xx: img[yy, xx])(x, iyc, ixc)
+        if padding_mode == "zeros":
+            v = jnp.where(inb[..., None], v, 0.0)
+        return v
+
+    v00 = corner(y0i, x0i)
+    v01 = corner(y0i, x0i + 1)
+    v10 = corner(y0i + 1, x0i)
+    v11 = corner(y0i + 1, x0i + 1)
+    wy = wy[..., None]
+    wx = wx[..., None]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+def _resize_axis_weights(in_size, out_size, align_corners):
+    """Per-output (i0, i1, w1) for 1-D linear resize, torch semantics."""
+    out_idx = jnp.arange(out_size, dtype=jnp.float32)
+    if align_corners and out_size > 1:
+        src = out_idx * ((in_size - 1) / (out_size - 1))
+    else:
+        src = (out_idx + 0.5) * (in_size / out_size) - 0.5
+    src = jnp.clip(src, 0.0, in_size - 1.0)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    w1 = src - i0.astype(jnp.float32)
+    return i0, i1, w1
+
+
+def resize_bilinear(x, out_hw, align_corners=False):
+    """F.interpolate(mode='bilinear') equivalent. x: (B,H,W,C) -> (B,h,w,C).
+
+    Separable: resize H then W with the same per-axis weights torch uses.
+    """
+    B, H, W, C = x.shape
+    oh, ow = out_hw
+    y0, y1, wy = _resize_axis_weights(H, oh, align_corners)
+    x0, x1, wx = _resize_axis_weights(W, ow, align_corners)
+    # height
+    top = x[:, y0, :, :]
+    bot = x[:, y1, :, :]
+    xh = top + (bot - top) * wy[None, :, None, None]
+    # width
+    left = xh[:, :, x0, :]
+    right = xh[:, :, x1, :]
+    return left + (right - left) * wx[None, None, :, None]
+
+
+def resize_nearest(x, out_hw):
+    """F.interpolate(mode='nearest') equivalent: src = floor(i * in/out)."""
+    B, H, W, C = x.shape
+    oh, ow = out_hw
+    iy = jnp.floor(jnp.arange(oh, dtype=jnp.float32) * (H / oh)).astype(jnp.int32)
+    ix = jnp.floor(jnp.arange(ow, dtype=jnp.float32) * (W / ow)).astype(jnp.int32)
+    iy = jnp.clip(iy, 0, H - 1)
+    ix = jnp.clip(ix, 0, W - 1)
+    return x[:, iy, :, :][:, :, ix, :]

@@ -1,0 +1,199 @@
+"""Functional NN primitives (NHWC / HWIO) + initializers.
+
+Every network in the framework is built from these pure functions over
+parameter dicts.  Conventions:
+
+* conv params: ``{'w': (kh, kw, cin, cout), 'b': (cout,) | absent}``
+* linear params: ``{'w': (cin, cout), 'b': (cout,) | absent}``
+  (torch ``nn.Linear`` stores (out, in): the checkpoint converter transposes)
+* batchnorm params: ``{'scale','bias','mean','var'}`` each (C,)
+
+Convs default to f32 accumulation (``preferred_element_type``) so bf16 inputs
+still accumulate exactly; the flow/log-det paths always run f32 (SURVEY §7
+"hard parts": TPU matmul defaults must be forced to f32 on flow paths).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+# TPU matmuls truncate f32 inputs to bf16 at DEFAULT precision; that breaks
+# PSNR parity with the f32 CUDA reference.  HIGHEST (3-pass bf16 == f32
+# accuracy) is the correctness default; perf-tuned paths may lower it via
+# set_default_precision / the precision kwarg.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_default_precision(p):
+    """p: jax.lax.Precision or one of 'default'|'high'|'highest'."""
+    global _PRECISION
+    if isinstance(p, str):
+        p = {"default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}[p]
+    _PRECISION = p
+
+
+def default_precision():
+    return _PRECISION
+
+
+def conv2d(x, p, stride=1, padding="SAME", dilation=1, precision=None):
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+        precision=precision or _PRECISION,
+    )
+    if "b" in p and p["b"] is not None:
+        y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def linear(x, p, precision=None):
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32,
+                precision=precision or _PRECISION)
+    if "b" in p and p["b"] is not None:
+        y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def leaky_relu(x, negative_slope=0.2):
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def batch_norm(x, p, training=False, eps=1e-5):
+    """BatchNorm2d on NHWC.  training=True uses batch statistics and returns
+    (y, (batch_mean, batch_var)) so the caller can update running stats;
+    inference uses the stored running stats."""
+    if training:
+        mean = jnp.mean(x, axis=(0, 1, 2))
+        var = jnp.var(x, axis=(0, 1, 2))
+        y = (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+        return y, (mean, var)
+    y = (x - p["mean"]) * jax.lax.rsqrt(p["var"] + eps) * p["scale"] + p["bias"]
+    return y
+
+
+def max_pool2d(x, window=2, stride=None):
+    stride = stride or window
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+
+
+def pixel_shuffle(x, factor):
+    """Depth-to-space matching torch.nn.PixelShuffle channel ordering.
+
+    torch input (NCHW) channel c = c_out * f^2 + fy * f + fx; in NHWC the
+    equivalent reshape is (B,H,W,Cout,f,f) -> interleave.
+    """
+    B, H, W, C = x.shape
+    f = factor
+    cout = C // (f * f)
+    x = x.reshape(B, H, W, cout, f, f)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H, fy, W, fx, cout
+    return x.reshape(B, H * f, W * f, cout)
+
+
+def pad_reflect101(x, pad_h, pad_w):
+    """Reflect (edge-not-repeated) spatial padding on NHWC."""
+    return jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)), mode="reflect")
+
+
+# ---------------------------------------------------------------------------
+# initializers — numerically mirror the torch defaults the reference relies on
+# ---------------------------------------------------------------------------
+
+
+def init_conv(key, kh, kw, cin, cout, bias=True, mode="torch", gain=1.0):
+    """Conv init.
+
+    mode='torch'  — kaiming_uniform(a=sqrt(5)) + uniform bias, torch's
+                    nn.Conv2d default (used by EDSR/LINF heads).
+    mode='kaiming_normal_fan_in' — kaiming_normal(fan_in) * gain (DenseBlock
+                    residual init, unet.py:25-28).
+    mode='xavier_normal' — xavier normal * gain (RRDB init, rrdb.py:18-27).
+    mode='normal' — N(0, gain) (SRFlow flow Conv2d weight_std=0.05).
+    mode='zeros'  — zero weights (Conv2dZeros).
+    """
+    kw_, kb_ = jax.random.split(key)
+    fan_in = kh * kw * cin
+    fan_out = kh * kw * cout
+    if mode == "torch":
+        # torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))
+        bound = 1.0 / math.sqrt(fan_in)
+        w = jax.random.uniform(kw_, (kh, kw, cin, cout), minval=-bound, maxval=bound)
+    elif mode == "kaiming_normal_fan_in":
+        std = math.sqrt(2.0 / fan_in)
+        w = jax.random.normal(kw_, (kh, kw, cin, cout)) * std * gain
+    elif mode == "xavier_normal":
+        std = math.sqrt(2.0 / (fan_in + fan_out))
+        w = jax.random.normal(kw_, (kh, kw, cin, cout)) * std * gain
+    elif mode == "normal":
+        w = jax.random.normal(kw_, (kh, kw, cin, cout)) * gain
+    elif mode == "zeros":
+        w = jnp.zeros((kh, kw, cin, cout))
+    else:
+        raise ValueError(mode)
+    p = {"w": w.astype(jnp.float32)}
+    if bias:
+        if mode == "torch":
+            bound = 1.0 / math.sqrt(fan_in)
+            p["b"] = jax.random.uniform(kb_, (cout,), minval=-bound, maxval=bound).astype(jnp.float32)
+        else:
+            p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def init_linear(key, cin, cout, bias=True):
+    kw_, kb_ = jax.random.split(key)
+    bound = 1.0 / math.sqrt(cin)
+    p = {"w": jax.random.uniform(kw_, (cin, cout), minval=-bound, maxval=bound).astype(jnp.float32)}
+    if bias:
+        p["b"] = jax.random.uniform(kb_, (cout,), minval=-bound, maxval=bound).astype(jnp.float32)
+    return p
+
+
+def init_batch_norm(c):
+    return {
+        "scale": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+        "mean": jnp.zeros((c,), jnp.float32),
+        "var": jnp.ones((c,), jnp.float32),
+    }
+
+
+def orthogonal_init(key, n):
+    """QR-orthogonal square matrix (InvertibleConv1x1 init,
+    Permutations.py:29)."""
+    a = jax.random.normal(key, (n, n))
+    q, r = jnp.linalg.qr(a)
+    return q * jnp.sign(jnp.diag(r))[None, :]

@@ -1,0 +1,90 @@
+"""Parity tests for torch-semantics resampling (torch CPU as oracle)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from bfsr_tpu.ops.interp import (  # noqa: E402
+    grid_sample_nearest,
+    grid_sample_bilinear,
+    resize_bilinear,
+    resize_nearest,
+)
+
+
+def _rand_nchw(rng, b, c, h, w):
+    return rng.random((b, c, h, w)).astype(np.float32)
+
+
+def _to_nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def _from_torch(t):
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("out_hw", [(17, 23), (64, 64), (7, 5)])
+def test_resize_bilinear_matches_torch(rng, out_hw):
+    x = _rand_nchw(rng, 2, 3, 16, 12)
+    ours = np.asarray(resize_bilinear(_to_nhwc(x), out_hw))
+    theirs = _from_torch(F.interpolate(torch.from_numpy(x), out_hw, mode="bilinear", align_corners=False))
+    np.testing.assert_allclose(ours, theirs, atol=2e-6)
+
+
+def test_resize_bilinear_align_corners_matches_torch(rng):
+    x = _rand_nchw(rng, 1, 4, 9, 11)
+    ours = np.asarray(resize_bilinear(_to_nhwc(x), (18, 22), align_corners=True))
+    theirs = _from_torch(F.interpolate(torch.from_numpy(x), (18, 22), mode="bilinear", align_corners=True))
+    np.testing.assert_allclose(ours, theirs, atol=2e-6)
+
+
+def test_resize_nearest_matches_torch(rng):
+    x = _rand_nchw(rng, 2, 3, 10, 14)
+    ours = np.asarray(resize_nearest(_to_nhwc(x), (25, 7)))
+    theirs = _from_torch(F.interpolate(torch.from_numpy(x), (25, 7), mode="nearest"))
+    np.testing.assert_allclose(ours, theirs, atol=0)
+
+
+def _rand_grid(rng, b, hg, wg):
+    # (h, w)-ordered coords in [-1, 1], off tie-points like the reference
+    g = (rng.random((b, hg, wg, 2)).astype(np.float32) * 2 - 1) * 0.97 + 1e-6
+    return g
+
+
+@pytest.mark.parametrize("pad", ["zeros", "border"])
+def test_grid_sample_bilinear_matches_torch(rng, pad):
+    x = _rand_nchw(rng, 2, 5, 12, 9)
+    g = _rand_grid(rng, 2, 7, 8)
+    ours = np.asarray(grid_sample_bilinear(_to_nhwc(x), jnp.asarray(g), padding_mode=pad))
+    # torch wants (x, y) order = our (h, w) flipped
+    tg = torch.from_numpy(g[..., ::-1].copy())
+    theirs = _from_torch(
+        F.grid_sample(torch.from_numpy(x), tg, mode="bilinear", padding_mode=pad, align_corners=False)
+    )
+    np.testing.assert_allclose(ours, theirs, atol=2e-6)
+
+
+def test_grid_sample_bilinear_border_out_of_range(rng):
+    x = _rand_nchw(rng, 1, 2, 6, 6)
+    g = _rand_grid(rng, 1, 4, 4) * 1.6  # out of range
+    ours = np.asarray(grid_sample_bilinear(_to_nhwc(x), jnp.asarray(g), padding_mode="border"))
+    tg = torch.from_numpy(g[..., ::-1].copy())
+    theirs = _from_torch(
+        F.grid_sample(torch.from_numpy(x), tg, mode="bilinear", padding_mode="border", align_corners=False)
+    )
+    np.testing.assert_allclose(ours, theirs, atol=2e-6)
+
+
+def test_grid_sample_nearest_matches_torch(rng):
+    x = _rand_nchw(rng, 2, 3, 15, 11)
+    g = _rand_grid(rng, 2, 9, 6)
+    ours = np.asarray(grid_sample_nearest(_to_nhwc(x), jnp.asarray(g)))
+    tg = torch.from_numpy(g[..., ::-1].copy())
+    theirs = _from_torch(
+        F.grid_sample(torch.from_numpy(x), tg, mode="nearest", padding_mode="zeros", align_corners=False)
+    )
+    np.testing.assert_allclose(ours, theirs, atol=0)
