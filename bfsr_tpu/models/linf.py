@@ -1,0 +1,262 @@
+"""LINF: Local Implicit Normalizing Flow, pixel and patch variants.
+
+Reference: LINF-LP/models/linf.py (both ``LINF`` @'linf' and ``LINFPatch``
+@'linf-patch').  The model pipeline per query grid:
+
+1. ``gen_feat`` — encoder features over the LR image.
+2. Fourier head: two 3x3 convs produce per-LR-pixel coefficient/frequency
+   fields; a bias-free linear maps the (relative) cell to a phase.
+3. 4-corner local ensemble: each HR query gathers its nearest LR pixel under
+   four half-cell diagonal shifts; relative coords scale the frequencies;
+   cos/sin basis; area-swapped bilinear-style weights (linf.py:94-101).
+4. A shared 1x1-conv MLP maps the concatenated features to the pointwise
+   flow's per-layer affine parameters.
+5. The pointwise flow runs forward (``query_log_p``: residual -> z, log_p)
+   or inverse (``query_rgb``: z -> residual, plus bilinear-upsampled LR
+   added back, linf.py:193-194).
+
+TPU-first design vs the reference:
+
+* Nearest-neighbour ``grid_sample`` of the feature-coordinate map is
+  replaced by closed-form integer index math (the sampled "q_coord" is just
+  the grid-center coordinate of the chosen LR pixel); only coef/freq need
+  real gathers.
+* The whole query pipeline (steps 3-5) is one fused jittable function over
+  a static-shape query tile; eval tiles the HR grid in row blocks
+  (reference row-chunks 256 rows in test.py:20-47).
+* The MLP is expressed as dense matmuls over flattened queries — MXU work —
+  rather than 1x1 convs.
+
+All model params live in one pytree::
+
+    {'encoder': ..., 'coef': conv3x3, 'freq': conv3x3, 'phase': linear,
+     'mlp': [conv1x1...], 'imnet': pointwise-flow params}
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from bfsr_tpu import registry
+from bfsr_tpu.models.base import Model
+from bfsr_tpu.ops import nn as fnn
+from bfsr_tpu.ops import pointwise_flow as pwf
+from bfsr_tpu.ops.interp import grid_sample_bilinear
+from bfsr_tpu.registry import register
+
+
+def _nearest_index(coord, n):
+    """Index of the LR pixel whose grid-center is nearest to ``coord``
+    (one axis).  Equivalent to grid_sample(nearest, align_corners=False)
+    on a make_coord feature map: unnormalize then round-half-even."""
+    return jnp.clip(jnp.rint(((coord + 1.0) * n - 1.0) / 2.0).astype(jnp.int32), 0, n - 1)
+
+
+def _gather_bhwc(maps, iy, ix):
+    """maps: (B, h, w, C); iy/ix: (B, Hq, Wq) -> (B, Hq, Wq, C)."""
+    return jax.vmap(lambda m, yy, xx: m[yy, xx])(maps, iy, ix)
+
+
+def linf_affine_info(params, feat, coord, cell, hidden_dim):
+    """Fourier head + local ensemble + MLP -> per-query affine params.
+
+    feat: (B, h, w, C); coord: (B, Hq, Wq, 2) in (h, w) order;
+    cell: (B, 2).  Returns (B, Hq, Wq, out_dim) f32.
+    """
+    B, h, w, _ = feat.shape
+    coef = fnn.conv2d(feat, params["coef"])
+    freq = fnn.conv2d(feat, params["freq"])
+
+    rx = 1.0 / h  # 2 / h / 2
+    ry = 1.0 / w
+    eps_shift = 1e-6
+
+    # phase from relative cell (shared across the 4 corners)
+    rel_cell = cell * jnp.asarray([h, w], cell.dtype)
+    phase = fnn.linear(rel_cell, params["phase"])  # (B, hidden/2)
+    phase = phase[:, None, None, :]
+
+    cy = coord[..., 0]
+    cx = coord[..., 1]
+
+    freqs, coefs, areas = [], [], []
+    for vx in (-1, 1):
+        for vy in (-1, 1):
+            sy = jnp.clip(cy + vx * rx + eps_shift, -1 + 1e-6, 1 - 1e-6)
+            sx = jnp.clip(cx + vy * ry + eps_shift, -1 + 1e-6, 1 - 1e-6)
+            iy = _nearest_index(sy, h)
+            ix = _nearest_index(sx, w)
+            # grid-center coordinate of the selected LR pixel (closed form)
+            qy = -1.0 + (2.0 * iy.astype(cy.dtype) + 1.0) / h
+            qx = -1.0 + (2.0 * ix.astype(cx.dtype) + 1.0) / w
+            rel_y = (cy - qy) * h
+            rel_x = (cx - qx) * w
+
+            coef_ = _gather_bhwc(coef, iy, ix)
+            freq_ = _gather_bhwc(freq, iy, ix)
+
+            # torch splits freq into 2 halves along channels and contracts
+            # with (rel_y, rel_x) (linf.py:82-84)
+            half = hidden_dim // 2
+            f = freq_[..., :half] * rel_y[..., None] + freq_[..., half:] * rel_x[..., None]
+            f = f + phase
+            basis = jnp.concatenate([jnp.cos(math.pi * f), jnp.sin(math.pi * f)], axis=-1)
+
+            freqs.append(basis)
+            coefs.append(coef_)
+            areas.append(jnp.abs(rel_y * rel_x) + 1e-9)
+
+    tot_area = areas[0] + areas[1] + areas[2] + areas[3]
+    # diagonal-opposite area swap (linf.py:95-96)
+    areas = [areas[3], areas[2], areas[1], areas[0]]
+
+    feats = [
+        (areas[i] / tot_area)[..., None] * coefs[i] * freqs[i] for i in range(4)
+    ]
+    features = jnp.concatenate(feats, axis=-1)  # (B, Hq, Wq, hidden*4)
+
+    # shared MLP over flattened queries — dense MXU matmuls
+    x = features.reshape(-1, features.shape[-1])
+    n_mlp = len(params["mlp"])
+    for i, lp in enumerate(params["mlp"]):
+        x = fnn.linear(x, lp)
+        if i < n_mlp - 1:
+            x = fnn.relu(x)
+    return x.reshape(B, coord.shape[1], coord.shape[2], -1)
+
+
+def init_linf(key, encoder_init, encoder_out_dim, flow_layers=10, num_layer=3,
+              hidden_dim=256, patch_size=1):
+    keys = jax.random.split(key, num_layer + 6)
+    d = 3 * patch_size * patch_size
+    mlp = [fnn.init_conv(keys[0], 1, 1, hidden_dim * 4, hidden_dim)]
+    for i in range(num_layer - 1):
+        mlp.append(fnn.init_conv(keys[1 + i], 1, 1, hidden_dim, hidden_dim))
+    mlp.append(fnn.init_conv(keys[num_layer], 1, 1, hidden_dim, flow_layers * d * 2))
+    # 1x1 convs == linears over the channel dim: store as linear params
+    mlp = [{"w": p["w"][0, 0], "b": p["b"]} for p in mlp]
+    return {
+        "encoder": encoder_init,
+        "mlp": mlp,
+        "coef": fnn.init_conv(keys[num_layer + 1], 3, 3, encoder_out_dim, hidden_dim),
+        "freq": fnn.init_conv(keys[num_layer + 2], 3, 3, encoder_out_dim, hidden_dim),
+        "phase": fnn.init_linear(keys[num_layer + 3], 2, hidden_dim // 2, bias=False),
+        "imnet": pwf.init_pointwise_flow(keys[num_layer + 4], flow_layers, patch_size),
+    }
+
+
+class _LINFBase(Model):
+    def __init__(self, encoder_spec, imnet_spec=None, flow_layers=10, num_layer=3,
+                 hidden_dim=256, patch_size=1):
+        super().__init__()
+        self.args = dict(encoder_spec=encoder_spec, imnet_spec=imnet_spec,
+                         flow_layers=flow_layers, num_layer=num_layer,
+                         hidden_dim=hidden_dim)
+        if patch_size != 1:
+            self.args["patch_size"] = patch_size
+        self.encoder = registry.make(encoder_spec)
+        self.flow_layers = flow_layers
+        self.hidden_dim = hidden_dim
+        self.num_layer = num_layer
+        self.patch_size = patch_size
+        self.dim = 3 * patch_size * patch_size
+        self.params = init_linf(
+            jax.random.PRNGKey(0), self.encoder.params, self.encoder.out_dim,
+            flow_layers, num_layer, hidden_dim, patch_size,
+        )
+
+    # -- pure functions ---------------------------------------------------
+
+    def gen_feat(self, params, inp):
+        """inp: (B, H, W, 3) normalized LR -> features."""
+        return self.encoder.apply(params["encoder"], inp)
+
+    def query_log_p(self, params, inp, feat, coord, cell, gt):
+        """gt: (B, Hq, Wq, d) residual target -> (log_p (B*Hq*Wq,), z map).
+
+        Mirrors linf.py:40-114 but NHWC and gather-based.
+        """
+        info = linf_affine_info(params, feat, coord, cell, self.hidden_dim)
+        B, Hq, Wq, _ = info.shape
+        z, log_p = pwf.forward(
+            params["imnet"], gt.reshape(-1, self.dim), info.reshape(B * Hq * Wq, -1)
+        )
+        return log_p, z.reshape(B, Hq, Wq, self.dim)
+
+    def query_rgb(self, params, inp, feat, coord, cell, temperature=0.0, zmap=None,
+                  key=None):
+        """zmap: (B, Hq, Wq, d) learned latent (or None -> sample).
+
+        Returns the predicted residual-plus-LR image (pixel model) or the
+        raw folded patch residual (patch model adds LR residual outside,
+        test.py:161).
+        """
+        info = linf_affine_info(params, feat, coord, cell, self.hidden_dim)
+        B, Hq, Wq, _ = info.shape
+        if zmap is None:
+            if temperature == 0.0:
+                z = jnp.zeros((B * Hq * Wq, self.dim), jnp.float32)
+            else:
+                z = jax.random.normal(key, (B * Hq * Wq, self.dim)) * temperature
+        else:
+            z = zmap.reshape(-1, self.dim)
+        pred = pwf.inverse(params["imnet"], z, info.reshape(B * Hq * Wq, -1))
+        pred = pred.reshape(B, Hq, Wq, self.dim)
+        if self.patch_size == 1:
+            lr_up = grid_sample_bilinear(inp, coord, padding_mode="border")
+            return pred + lr_up
+        return self._fold(pred)
+
+    def _fold(self, pred):
+        """(B, Hq, Wq, 3*ps^2) -> (B, Hq*ps, Wq*ps, 3), torch F.fold channel
+        order (c, ky, kx) (linf.py:401-406)."""
+        ps = self.patch_size
+        B, Hq, Wq, _ = pred.shape
+        x = pred.reshape(B, Hq, Wq, 3, ps, ps)
+        x = x.transpose(0, 1, 4, 2, 5, 3)  # B, Hq, ky, Wq, kx, 3
+        return x.reshape(B, Hq * ps, Wq * ps, 3)
+
+    # -- reference-style op dispatch (linf.py:205-216) --------------------
+
+    def __call__(self, op, inp=None, feat=None, coord=None, cell=None, gt=None,
+                 temperature=0.0, zmap=None, key=None):
+        p = self.params
+        if op == "gen_feat":
+            return self.gen_feat(p, inp)
+        if op == "query_log_p":
+            return self.query_log_p(p, inp, feat, coord, cell, gt)
+        if op == "query_rgb":
+            return self.query_rgb(p, inp, feat, coord, cell, temperature, zmap, key)
+        if op == "log_p":
+            feat = self.gen_feat(p, inp)
+            return self.query_log_p(p, inp, feat, coord, cell, gt)
+        if op == "rgb":
+            feat = self.gen_feat(p, inp)
+            return self.query_rgb(p, inp, feat, coord, cell, temperature, zmap, key)
+        raise ValueError(op)
+
+    def freeze(self):
+        """Cache flow inverses for frozen inference/training-the-prior."""
+        self.params = dict(self.params)
+        self.params["imnet"] = pwf.cache_inverses(self.params["imnet"])
+        return self
+
+
+@register("linf")
+class LINF(_LINFBase):
+    registry_name = "linf"
+
+    def __init__(self, encoder_spec, imnet_spec=None, flow_layers=10, num_layer=3,
+                 hidden_dim=256):
+        super().__init__(encoder_spec, imnet_spec, flow_layers, num_layer, hidden_dim, 1)
+
+
+@register("linf-patch")
+class LINFPatch(_LINFBase):
+    registry_name = "linf-patch"
+
+    def __init__(self, encoder_spec, imnet_spec=None, flow_layers=10, num_layer=3,
+                 hidden_dim=256, patch_size=3):
+        super().__init__(encoder_spec, imnet_spec, flow_layers, num_layer, hidden_dim,
+                         patch_size)

@@ -1,0 +1,153 @@
+"""RRDBNet (ESRGAN trunk) — one implementation, two personalities.
+
+* LINF encoder flavor (reference: LINF-LP/models/rrdb.py): ``no_upsampling``
+  returns trunk features (out_dim = nf).
+* SRFlow conditioning flavor (reference:
+  SRFlow-LP/code/models/modules/RRDBNet_arch.py): ``get_steps=True`` also
+  returns per-block taps and the multi-scale ``fea_up*`` dict that feeds the
+  flow's conditional couplings (incl. the 0.5x/0.25x bilinear down-scales
+  ``fea_up0``/``fea_up-1``).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from bfsr_tpu.models.base import Model
+from bfsr_tpu.ops import nn as fnn
+from bfsr_tpu.ops.interp import resize_nearest, resize_bilinear
+from bfsr_tpu.registry import register
+
+
+def _init_dense_block(key, nf, gc, gain=0.1):
+    ks = jax.random.split(key, 5)
+    cins = [nf, nf + gc, nf + 2 * gc, nf + 3 * gc, nf + 4 * gc]
+    couts = [gc, gc, gc, gc, nf]
+    return {
+        f"conv{i+1}": fnn.init_conv(ks[i], 3, 3, cins[i], couts[i], mode="xavier_normal", gain=gain)
+        for i in range(5)
+    }
+
+
+def _dense_block(x, p):
+    lrelu = fnn.leaky_relu
+    x1 = lrelu(fnn.conv2d(x, p["conv1"]))
+    x2 = lrelu(fnn.conv2d(jnp.concatenate([x, x1], -1), p["conv2"]))
+    x3 = lrelu(fnn.conv2d(jnp.concatenate([x, x1, x2], -1), p["conv3"]))
+    x4 = lrelu(fnn.conv2d(jnp.concatenate([x, x1, x2, x3], -1), p["conv4"]))
+    x5 = fnn.conv2d(jnp.concatenate([x, x1, x2, x3, x4], -1), p["conv5"])
+    return x5 * 0.2 + x
+
+
+def _rrdb_block(x, p):
+    out = _dense_block(x, p["rdb1"])
+    out = _dense_block(out, p["rdb2"])
+    out = _dense_block(out, p["rdb3"])
+    return out * 0.2 + x
+
+
+def init_rrdb(key, in_nc=3, out_nc=3, nf=64, nb=23, gc=32, scale=4, upsampling=True):
+    keys = jax.random.split(key, nb + 10)
+    p = {
+        "conv_first": fnn.init_conv(keys[0], 3, 3, in_nc, nf),
+        "trunk": [
+            {
+                "rdb1": _init_dense_block(jax.random.fold_in(keys[1 + i], 0), nf, gc),
+                "rdb2": _init_dense_block(jax.random.fold_in(keys[1 + i], 1), nf, gc),
+                "rdb3": _init_dense_block(jax.random.fold_in(keys[1 + i], 2), nf, gc),
+            }
+            for i in range(nb)
+        ],
+        "trunk_conv": fnn.init_conv(keys[nb + 1], 3, 3, nf, nf),
+    }
+    if upsampling:
+        p["upconv1"] = fnn.init_conv(keys[nb + 2], 3, 3, nf, nf)
+        p["upconv2"] = fnn.init_conv(keys[nb + 3], 3, 3, nf, nf)
+        k = nb + 4
+        if scale >= 8:
+            p["upconv3"] = fnn.init_conv(keys[k], 3, 3, nf, nf); k += 1
+        if scale >= 16:
+            p["upconv4"] = fnn.init_conv(keys[k], 3, 3, nf, nf); k += 1
+        if scale >= 32:
+            p["upconv5"] = fnn.init_conv(keys[k], 3, 3, nf, nf); k += 1
+        p["hr_conv"] = fnn.init_conv(keys[k], 3, 3, nf, nf)
+        p["conv_last"] = fnn.init_conv(keys[k + 1], 3, 3, nf, out_nc)
+    return p
+
+
+def rrdb_encode(params, x):
+    """LINF encoder mode: trunk features only (rrdb.py:105-111)."""
+    fea = fnn.conv2d(x, params["conv_first"])
+    t = fea
+    for blk in params["trunk"]:
+        t = _rrdb_block(t, blk)
+    trunk = fnn.conv2d(t, params["trunk_conv"])
+    return fea + trunk
+
+
+def rrdb_apply_steps(params, x, scale=4, block_idxs=(), fea_up0=False, fea_upm1=False):
+    """SRFlow conditioning mode: dict of per-block taps + fea_up* pyramid
+    (RRDBNet_arch.py:89-148)."""
+    lrelu = fnn.leaky_relu
+    fea = fnn.conv2d(x, params["conv_first"])
+    block_results = {}
+    t = fea
+    for idx, blk in enumerate(params["trunk"]):
+        t = _rrdb_block(t, blk)
+        if idx in block_idxs:
+            block_results[f"block_{idx}"] = t
+    trunk = fnn.conv2d(t, params["trunk_conv"])
+    last_lr_fea = fea + trunk
+
+    h, w = x.shape[1], x.shape[2]
+    fea_up2 = fnn.conv2d(resize_nearest(last_lr_fea, (h * 2, w * 2)), params["upconv1"])
+    f = lrelu(fea_up2)
+    fea_up4 = fnn.conv2d(resize_nearest(f, (h * 4, w * 4)), params["upconv2"])
+    f = lrelu(fea_up4)
+    results = {
+        "last_lr_fea": last_lr_fea,
+        "fea_up1": last_lr_fea,
+        "fea_up2": fea_up2,
+        "fea_up4": fea_up4,
+    }
+    if scale >= 8:
+        fea_up8 = fnn.conv2d(resize_nearest(f, (h * 8, w * 8)), params["upconv3"])
+        f = lrelu(fea_up8)
+        results["fea_up8"] = fea_up8
+    if scale >= 16:
+        fea_up16 = fnn.conv2d(resize_nearest(f, (h * 16, w * 16)), params["upconv4"])
+        f = lrelu(fea_up16)
+        results["fea_up16"] = fea_up16
+    out = fnn.conv2d(lrelu(fnn.conv2d(f, params["hr_conv"])), params["conv_last"])
+    results["out"] = out
+    if fea_up0:
+        results["fea_up0"] = resize_bilinear(last_lr_fea, (h // 2, w // 2))
+    if fea_upm1:
+        results["fea_up-1"] = resize_bilinear(last_lr_fea, (h // 4, w // 4))
+    results.update(block_results)
+    return results
+
+
+@register("rrdb")
+class RRDBNet(Model):
+    registry_name = "rrdb"
+
+    def __init__(self, in_nc=3, out_nc=3, nf=64, nb=23, gc=32, no_upsampling=True):
+        super().__init__()
+        self.args = dict(in_nc=in_nc, out_nc=out_nc, nf=nf, nb=nb, gc=gc,
+                         no_upsampling=no_upsampling)
+        self.no_upsampling = no_upsampling
+        self.out_dim = nf if no_upsampling else out_nc
+        self.params = init_rrdb(jax.random.PRNGKey(0), in_nc, out_nc, nf, nb, gc,
+                                scale=4, upsampling=not no_upsampling)
+
+    def apply(self, params, x):
+        if self.no_upsampling:
+            return rrdb_encode(params, x)
+        h, w = x.shape[1], x.shape[2]
+        fea = rrdb_encode(params, x)
+        f = fnn.leaky_relu(fnn.conv2d(resize_nearest(fea, (h * 2, w * 2)), params["upconv1"]))
+        f = fnn.leaky_relu(fnn.conv2d(resize_nearest(f, (h * 4, w * 4)), params["upconv2"]))
+        return fnn.conv2d(fnn.leaky_relu(fnn.conv2d(f, params["hr_conv"])), params["conv_last"])
+
+    def __call__(self, x):
+        return self.apply(self.params, x)

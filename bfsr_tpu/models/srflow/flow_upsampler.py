@@ -1,0 +1,167 @@
+"""FlowUpsamplerNet: the Glow pyramid of SRFlow as a *static layer plan*.
+
+Reference: SRFlow-LP/code/models/modules/FlowUpsamplerNet.py.  The reference
+builds an nn.ModuleList and re-derives each layer's pyramid level at runtime
+from ``log2(160 / output_shape)``; here the whole architecture is a static
+plan computed once — under jit every layer unrolls into one fused XLA
+program, and levels/conditioning are resolved at trace time.
+
+Plan for scale=4, L=3, K=16, additionalFlowNoAffine=2, split enabled
+(confs/SRFlow-LP_DF2K_4X.yml):
+
+  level 1: squeeze(3->12)   2x[actnorm,invconv]  16x[actnorm,invconv,affine]
+           split (12 -> pass 6, eps 6)
+  level 2: squeeze(6->24)   2x[...]              16x[...]
+  level 3: squeeze(24->96)  2x[...]              16x[...]
+  final z: 96ch at H/8;  eps0: 6ch at H/2
+
+Conditioning: each level L reads the RRDB pyramid entry named by
+``level_names[scale][L]`` (FlowUpsamplerNet.py:49-74), 320 channels with
+stackRRDB.concat.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from bfsr_tpu.ops import flows
+from bfsr_tpu.ops import nn as fnn
+
+LEVEL_NAMES = {
+    16: {0: "fea_up16", 1: "fea_up8", 2: "fea_up4", 3: "fea_up2", 4: "fea_up1"},
+    8: {0: "fea_up8", 1: "fea_up4", 2: "fea_up2", 3: "fea_up1", 4: "fea_up0"},
+    4: {0: "fea_up4", 1: "fea_up2", 2: "fea_up1", 3: "fea_up0", 4: "fea_up-1"},
+}
+
+
+def build_plan(scale=4, L=3, K=16, additional_steps=2, split_enable=True,
+               consume_ratio=0.5, base_c=3):
+    """Returns (plan, final_c).  plan entries:
+    {'kind': 'squeeze'|'step_nc'|'step_cond'|'split', 'level': int, 'c': int}
+    """
+    if isinstance(K, int):
+        K = [K] * (L + 1)
+    plan = []
+    c = base_c
+    h = 160  # reference construction-time size; only log2-ratios matter
+    for level in range(1, L + 1):
+        c, h = c * 4, h // 2
+        lvl = int(round(math.log2(160 / h)))
+        plan.append({"kind": "squeeze", "level": lvl, "c": c})
+        for _ in range(additional_steps):
+            plan.append({"kind": "step_nc", "level": lvl, "c": c})
+        for _ in range(K[level]):
+            plan.append({"kind": "step_cond", "level": lvl, "c": c})
+        # split at levels with L_cur < L - 1 + 1 … i.e. level < L - 1 + 1;
+        # reference: `if split.enable and level < levels - correction`
+        # with correction=1 (FlowUpsamplerNet.py:149-152) -> level 1 only
+        # when L == 3.
+        if split_enable and level < L - 1:
+            n_consume = int(round(c * consume_ratio))
+            plan.append({"kind": "split", "level": lvl, "c": c,
+                         "consume": n_consume})
+            c = c - n_consume
+    return plan, c
+
+
+def init_flow_upsampler(key, plan, cond_channels=320, hidden_channels=64):
+    params = []
+    for entry in plan:
+        key, sub = jax.random.split(key)
+        c = entry["c"]
+        if entry["kind"] == "squeeze":
+            params.append({})
+        elif entry["kind"] in ("step_nc", "step_cond"):
+            k1, k2, k3 = jax.random.split(sub, 3)
+            p = {
+                "actnorm": {"bias": jnp.zeros((c,), jnp.float32),
+                            "logs": jnp.zeros((c,), jnp.float32)},
+                "invconv": {"w": fnn.orthogonal_init(k1, c)},
+            }
+            if entry["kind"] == "step_cond":
+                p["affine"] = flows.init_cond_affine(k2, c, cond_channels, hidden_channels)
+            params.append(p)
+        elif entry["kind"] == "split":
+            params.append(flows.init_split2d(sub, c, cond_channels=0))
+        else:
+            raise ValueError(entry["kind"])
+    return {"layers": params}
+
+
+def cache_flow_inverses(params):
+    """Attach w_inv/logabsdet caches to every invconv (frozen inference)."""
+    out = {"layers": []}
+    for p in params["layers"]:
+        p = dict(p)
+        if "invconv" in p:
+            p["invconv"] = flows.invconv_cache(p["invconv"]["w"])
+        out["layers"].append(p)
+    return out
+
+
+def _step_forward(x, p, ft, logdet, cond):
+    x, logdet = flows.actnorm(x, p["actnorm"], logdet)
+    x, logdet = flows.invconv1x1(x, p["invconv"], logdet)
+    if cond:
+        x, logdet = flows.cond_affine(x, ft, p["affine"], logdet)
+    return x, logdet
+
+
+def _step_reverse(x, p, ft, logdet, cond):
+    if cond:
+        x, logdet = flows.cond_affine(x, ft, p["affine"], logdet, reverse=True)
+    x, logdet = flows.invconv1x1(x, p["invconv"], logdet, reverse=True)
+    x, logdet = flows.actnorm(x, p["actnorm"], logdet, reverse=True)
+    return x, logdet
+
+
+def encode(params, plan, gt, conds, logdet):
+    """gt: (B, H, W, 3); conds: {level: (B, h, w, C_cond)}.
+
+    Returns (epses list [eps0..., z_final], logdet).
+    (FlowUpsamplerNet.encode, :217-251)
+    """
+    x = gt
+    epses = []
+    for entry, p in zip(plan, params["layers"]):
+        kind = entry["kind"]
+        if kind == "squeeze":
+            x = flows.squeeze2d(x)
+        elif kind == "step_nc":
+            x, logdet = _step_forward(x, p, None, logdet, cond=False)
+        elif kind == "step_cond":
+            x, logdet = _step_forward(x, p, conds[entry["level"]], logdet, cond=True)
+        elif kind == "split":
+            x, logdet, eps = flows.split2d(x, p, logdet, ft=None)
+            epses.append(eps)
+    epses.append(x)
+    return epses, logdet
+
+
+def decode(params, plan, conds, logdet, z=None, epses=None, eps_std=None, key=None):
+    """Inverse pass; consumes epses back-to-front (z_final popped first).
+    (FlowUpsamplerNet.decode, :267-303)"""
+    if epses is not None:
+        epses = list(epses)
+        x = epses.pop()
+    else:
+        x = z
+    for entry, p in zip(reversed(plan), reversed(params["layers"])):
+        kind = entry["kind"]
+        if kind == "squeeze":
+            x = flows.unsqueeze2d(x)
+        elif kind == "step_nc":
+            x, logdet = _step_reverse(x, p, None, logdet, cond=False)
+        elif kind == "step_cond":
+            x, logdet = _step_reverse(x, p, conds[entry["level"]], logdet, cond=True)
+        elif kind == "split":
+            eps = epses.pop() if epses is not None else None
+            if eps is None and key is not None:
+                key, sub = jax.random.split(key)
+            else:
+                sub = None
+            x, logdet, _ = flows.split2d(
+                x, p, logdet, ft=None, reverse=True, eps=eps, eps_std=eps_std, key=sub
+            )
+    return x, logdet

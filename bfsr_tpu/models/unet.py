@@ -1,0 +1,180 @@
+"""UNet latent (prior) module — the paper's only trainable component.
+
+Reference: LINF-LP/models/unet.py.  Takes the flow-encoded LR latent
+``z_lr`` (3 or 3*ps^2 channels) plus the normalized LR image and predicts a
+better latent.  Structure: DenseBlock_5C input projection + stride-3 conv LR
+projection -> concat -> depth-3 UNet (maxpool down / bilinear-up +
+skip-concat, DoubleConv = [conv3x3 -> BN -> lrelu] x2) -> 1x1 out conv.
+
+BatchNorm runs in batch-stats mode during training (torch semantics);
+``apply(..., training=True)`` additionally returns the freshly observed
+(mean, var) per BN layer so the optimizer step can update running stats with
+torch's 0.1 momentum.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from bfsr_tpu.models.base import Model
+from bfsr_tpu.ops import nn as fnn
+from bfsr_tpu.ops.interp import resize_bilinear
+from bfsr_tpu.registry import register
+
+
+# -- DenseBlock_5C (unet.py:10-36): kaiming-normal x0.1 init ----------------
+
+
+def init_dense_block5c(key, nf, gc, out_dim):
+    ks = jax.random.split(key, 5)
+    cins = [nf, nf + gc, nf + 2 * gc, nf + 3 * gc, nf + 4 * gc]
+    couts = [gc, gc, gc, gc, out_dim]
+    return {
+        f"conv{i+1}": fnn.init_conv(ks[i], 3, 3, cins[i], couts[i],
+                                    mode="kaiming_normal_fan_in", gain=0.1)
+        for i in range(5)
+    }
+
+
+def dense_block5c(x, p):
+    lrelu = fnn.leaky_relu
+    x1 = lrelu(fnn.conv2d(x, p["conv1"]))
+    x2 = lrelu(fnn.conv2d(jnp.concatenate([x, x1], -1), p["conv2"]))
+    x3 = lrelu(fnn.conv2d(jnp.concatenate([x, x1, x2], -1), p["conv3"]))
+    x4 = lrelu(fnn.conv2d(jnp.concatenate([x, x1, x2, x3], -1), p["conv4"]))
+    return fnn.conv2d(jnp.concatenate([x, x1, x2, x3, x4], -1), p["conv5"])
+
+
+# -- DoubleConv / Down / Up --------------------------------------------------
+
+
+def init_double_conv(key, cin, cout, mid=None):
+    mid = mid or cout
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": fnn.init_conv(k1, 3, 3, cin, mid, bias=False),
+        "bn1": fnn.init_batch_norm(mid),
+        "conv2": fnn.init_conv(k2, 3, 3, mid, cout, bias=False),
+        "bn2": fnn.init_batch_norm(cout),
+    }
+
+
+def double_conv(x, p, training, bn_updates, path):
+    h = fnn.conv2d(x, p["conv1"])
+    if training:
+        h, stats = fnn.batch_norm(h, p["bn1"], training=True)
+        bn_updates[path + ("bn1",)] = stats
+    else:
+        h = fnn.batch_norm(h, p["bn1"])
+    h = fnn.leaky_relu(h)
+    h = fnn.conv2d(h, p["conv2"])
+    if training:
+        h, stats = fnn.batch_norm(h, p["bn2"], training=True)
+        bn_updates[path + ("bn2",)] = stats
+    else:
+        h = fnn.batch_norm(h, p["bn2"])
+    return fnn.leaky_relu(h)
+
+
+def _up_merge(x1, x2, p, training, bn_updates, path, bilinear=True):
+    """Up block: upsample x1, pad to x2, concat [x2, x1], DoubleConv
+    (unet.py:84-96)."""
+    h2, w2 = x2.shape[1], x2.shape[2]
+    if bilinear:
+        x1 = resize_bilinear(x1, (x1.shape[1] * 2, x1.shape[2] * 2), align_corners=True)
+    else:
+        raise NotImplementedError("transposed-conv Up is not used by shipped configs")
+    dh = h2 - x1.shape[1]
+    dw = w2 - x1.shape[2]
+    x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
+    return double_conv(jnp.concatenate([x2, x1], -1), p, training, bn_updates, path)
+
+
+# -- UNet --------------------------------------------------------------------
+
+
+def init_unet(key, in_chans, depth=3, dim=64, bilinear=True):
+    factor = 2 if bilinear else 1
+    keys = iter(jax.random.split(key, depth * 2 + 8))
+    p = {
+        "input_proj": init_dense_block5c(next(keys), in_chans, dim // 2, dim // 2),
+        "lr_proj_conv": fnn.init_conv(next(keys), 3, 3, 3, in_chans),
+        "lr_proj_dense": init_dense_block5c(next(keys), in_chans, dim // 2, dim // 2),
+        "inc": init_double_conv(next(keys), dim, dim),
+        "down": [],
+        "up": [],
+        "outc": fnn.init_conv(next(keys), 1, 1, dim, in_chans),
+    }
+    for i in range(depth):
+        cout = dim * (2 ** (i + 1))
+        if i == depth - 1:
+            cout //= factor
+        p["down"].append(init_double_conv(next(keys), dim * (2 ** i), cout))
+    for i in range(depth):
+        cin = dim * (2 ** (depth - i))
+        cout = dim * (2 ** (depth - i - 1))
+        if i < depth - 1:
+            cout //= factor
+        p["up"].append(init_double_conv(next(keys), cin, cout, mid=cin // 2))
+    return p
+
+
+def unet_apply(params, z, lr, depth=3, training=False):
+    """z: (B, H, W, in_chans) latent; lr: (B, h, w, 3) normalized LR.
+
+    Returns logits (B, H, W, in_chans); with training=True also a dict of
+    BN batch statistics keyed by parameter path.
+    """
+    bn_updates = {}
+    x = dense_block5c(z, params["input_proj"])
+    lr_embed = fnn.conv2d(lr, params["lr_proj_conv"], stride=3, padding=1)
+    lr_embed = fnn.leaky_relu(lr_embed)
+    lr_embed = dense_block5c(lr_embed, params["lr_proj_dense"])
+    if lr_embed.shape[1:3] != x.shape[1:3]:
+        lr_embed = resize_bilinear(lr_embed, x.shape[1:3], align_corners=False)
+    x = jnp.concatenate([x, lr_embed], -1)
+
+    feats = []
+    x = double_conv(x, params["inc"], training, bn_updates, ("inc",))
+    feats.append(x)
+    for i, dp in enumerate(params["down"]):
+        x = fnn.max_pool2d(x, 2)
+        x = double_conv(x, dp, training, bn_updates, ("down", i))
+        feats.append(x)
+    for i, up in enumerate(params["up"]):
+        x = _up_merge(x, feats[depth - 1 - i], up, training, bn_updates, ("up", i))
+    logits = fnn.conv2d(x, params["outc"])
+    if training:
+        return logits, bn_updates
+    return logits
+
+
+def apply_bn_updates(params, bn_updates, momentum=0.1):
+    """Fold observed batch stats into running stats (torch momentum)."""
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    for path, (mean, var) in bn_updates.items():
+        node = params
+        for k in path[:-1]:
+            node = node[k]
+        bn = node[path[-1]]
+        bn["mean"] = (1 - momentum) * bn["mean"] + momentum * mean
+        bn["var"] = (1 - momentum) * bn["var"] + momentum * var
+    return params
+
+
+@register("unet")
+class UNet(Model):
+    registry_name = "unet"
+
+    def __init__(self, in_chans, depth=3, dim=64, bilinear=True, cell_input=None):
+        super().__init__()
+        self.args = dict(in_chans=in_chans, depth=depth, dim=dim, bilinear=bilinear)
+        self.in_chans = in_chans
+        self.depth = depth
+        self.dim = dim
+        self.params = init_unet(jax.random.PRNGKey(0), in_chans, depth, dim, bilinear)
+
+    def apply(self, params, z, lr, training=False):
+        return unet_apply(params, z, lr, self.depth, training)
+
+    def __call__(self, z, lr):
+        return self.apply(self.params, z, lr)
