@@ -14,18 +14,25 @@ class Model:
         self.params = {}
 
     def load_params(self, params):
-        """Install a converted/loaded parameter pytree (shape-checked)."""
-        old_leaves, old_def = jax.tree_util.tree_flatten(self.params)
-        new_leaves, new_def = jax.tree_util.tree_flatten(params)
-        if old_def != new_def:
-            raise ValueError(
-                f"{type(self).__name__}: parameter tree mismatch:\n"
-                f"  expected {old_def}\n  got      {new_def}"
-            )
-        for o, n in zip(old_leaves, new_leaves):
-            if tuple(o.shape) != tuple(n.shape):
+        """Install a converted/loaded parameter pytree.
+
+        Every leaf of the model's expected tree must be present with a
+        matching shape; the incoming tree may carry extra leaves (e.g. the
+        frozen-inference caches ``w_inv``/``logabsdet``).
+        """
+        expected = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        incoming = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        for path, leaf in expected:
+            if path not in incoming:
                 raise ValueError(
-                    f"{type(self).__name__}: shape mismatch {o.shape} vs {n.shape}"
+                    f"{type(self).__name__}: missing parameter at "
+                    f"{jax.tree_util.keystr(path)}"
+                )
+            if tuple(incoming[path].shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"{type(self).__name__}: shape mismatch at "
+                    f"{jax.tree_util.keystr(path)}: expected {leaf.shape}, "
+                    f"got {incoming[path].shape}"
                 )
         self.params = params
 

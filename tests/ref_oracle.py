@@ -1,0 +1,108 @@
+"""Test-only helpers to import reference PyTorch modules as golden oracles.
+
+The reference at /root/reference is mounted read-only; we import individual
+module files with stubbed package scaffolding (fake 'models'/'utils'
+packages pointing into the reference tree) so that missing optional deps
+(timm, torchvision, natsort, lpips) never load.  Reference code is never
+copied — only executed in-process to produce golden outputs for parity
+tests.  Everything here is skipped when the mount is absent.
+"""
+
+import importlib
+import os
+import sys
+import types
+from contextlib import contextmanager
+
+LINF_ROOT = "/root/reference/LINF-LP"
+SRFLOW_ROOT = "/root/reference/SRFlow-LP/code"
+
+
+def reference_available():
+    return os.path.isdir(LINF_ROOT)
+
+
+def patch_cuda_noop():
+    """Make .cuda() a no-op so reference GPU-hard-coded code runs on CPU."""
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+
+@contextmanager
+def _scoped_modules(new_modules, path_entries):
+    saved = {}
+    for name in new_modules:
+        saved[name] = sys.modules.pop(name, None)
+    # also drop any previously imported submodules of these packages
+    for mod in list(sys.modules):
+        if any(mod.startswith(p + ".") for p in new_modules):
+            saved[mod] = sys.modules.pop(mod)
+    sys.modules.update(new_modules)
+    for p in path_entries:
+        sys.path.insert(0, p)
+    try:
+        yield
+    finally:
+        for p in path_entries:
+            sys.path.remove(p)
+        for mod in list(sys.modules):
+            if mod in new_modules or any(mod.startswith(p + ".") for p in new_modules):
+                del sys.modules[mod]
+        for name, mod in saved.items():
+            if mod is not None:
+                sys.modules[name] = mod
+
+
+@contextmanager
+def linf_modules(*names):
+    """Yield a dict of imported LINF-LP model modules, e.g.
+    linf_modules('edsr', 'flow', 'linf')."""
+    fake = types.ModuleType("models")
+    fake.__path__ = [os.path.join(LINF_ROOT, "models")]
+    with _scoped_modules({"models": fake}, [LINF_ROOT]):
+        reg = importlib.import_module("models.models")
+        fake.register = reg.register
+        fake.make = reg.make
+        fake.models = reg
+        mods = {}
+        for n in names:
+            mods[n] = importlib.import_module(f"models.{n}")
+        yield mods
+
+
+@contextmanager
+def srflow_modules(*names):
+    """Yield imported SRFlow-LP module files, e.g.
+    srflow_modules('models.modules.SRFlowNet_arch')."""
+    fake_models = types.ModuleType("models")
+    fake_models.__path__ = [os.path.join(SRFLOW_ROOT, "models")]
+    fake_modules = types.ModuleType("models.modules")
+    fake_modules.__path__ = [os.path.join(SRFLOW_ROOT, "models", "modules")]
+    fake_models.modules = fake_modules
+    fake_utils = types.ModuleType("utils")
+    fake_utils.__path__ = []
+    util = types.ModuleType("utils.util")
+
+    def opt_get(opt, keys, default=None):
+        if opt is None:
+            return default
+        ret = opt
+        for k in keys:
+            ret = ret.get(k, None)
+            if ret is None:
+                return default
+        return ret
+
+    util.opt_get = opt_get
+    fake_utils.util = util
+    new = {
+        "models": fake_models,
+        "models.modules": fake_modules,
+        "utils": fake_utils,
+        "utils.util": util,
+    }
+    with _scoped_modules(new, [SRFLOW_ROOT]):
+        mods = {n: importlib.import_module(n) for n in names}
+        yield mods
