@@ -75,7 +75,7 @@ def linf_affine_info(params, feat, coord, cell, hidden_dim):
     # phase from relative cell (shared across the 4 corners)
     rel_cell = cell * jnp.asarray([h, w], cell.dtype)
     phase = fnn.linear(rel_cell, params["phase"])  # (B, hidden/2)
-    phase = phase[:, None, None, :]
+    phase = phase.reshape(phase.shape[0], *(1,) * (coord.ndim - 2), phase.shape[-1])
 
     cy = coord[..., 0]
     cx = coord[..., 1]
@@ -114,16 +114,17 @@ def linf_affine_info(params, feat, coord, cell, hidden_dim):
     feats = [
         (areas[i] / tot_area)[..., None] * coefs[i] * freqs[i] for i in range(4)
     ]
-    features = jnp.concatenate(feats, axis=-1)  # (B, Hq, Wq, hidden*4)
+    features = jnp.concatenate(feats, axis=-1)  # (B, ..., hidden*4)
 
     # shared MLP over flattened queries — dense MXU matmuls
+    lead = features.shape[:-1]
     x = features.reshape(-1, features.shape[-1])
     n_mlp = len(params["mlp"])
     for i, lp in enumerate(params["mlp"]):
         x = fnn.linear(x, lp)
         if i < n_mlp - 1:
             x = fnn.relu(x)
-    return x.reshape(B, coord.shape[1], coord.shape[2], -1)
+    return x.reshape(*lead, -1)
 
 
 def init_linf(key, encoder_init, encoder_out_dim, flow_layers=10, num_layer=3,
@@ -178,11 +179,38 @@ class _LINFBase(Model):
         Mirrors linf.py:40-114 but NHWC and gather-based.
         """
         info = linf_affine_info(params, feat, coord, cell, self.hidden_dim)
-        B, Hq, Wq, _ = info.shape
+        lead = info.shape[:-1]
+        flat_n = 1
+        for s in lead:
+            flat_n *= s
         z, log_p = pwf.forward(
-            params["imnet"], gt.reshape(-1, self.dim), info.reshape(B * Hq * Wq, -1)
+            params["imnet"], gt.reshape(-1, self.dim), info.reshape(flat_n, -1)
         )
-        return log_p, z.reshape(B, Hq, Wq, self.dim)
+        return log_p, z.reshape(*lead, self.dim)
+
+    def query_residual(self, params, inp, feat, coord, cell, temperature=0.0,
+                       zmap=None, key=None):
+        """Flow inverse only: per-query residual (B, ..., d).
+
+        coord may have any query shape (B, ..., 2); zmap (B, ..., d) or
+        None (zeros when key is None, else N(0, temperature^2) samples —
+        temperature may be a traced scalar).
+        """
+        info = linf_affine_info(params, feat, coord, cell, self.hidden_dim)
+        lead = info.shape[:-1]
+        n = 1
+        for s in lead[1:]:
+            n *= s
+        flat_n = lead[0] * n
+        if zmap is None:
+            if key is None:
+                z = jnp.zeros((flat_n, self.dim), jnp.float32)
+            else:
+                z = jax.random.normal(key, (flat_n, self.dim)) * temperature
+        else:
+            z = zmap.reshape(-1, self.dim)
+        pred = pwf.inverse(params["imnet"], z, info.reshape(flat_n, -1))
+        return pred.reshape(*lead, self.dim)
 
     def query_rgb(self, params, inp, feat, coord, cell, temperature=0.0, zmap=None,
                   key=None):
@@ -192,17 +220,8 @@ class _LINFBase(Model):
         raw folded patch residual (patch model adds LR residual outside,
         test.py:161).
         """
-        info = linf_affine_info(params, feat, coord, cell, self.hidden_dim)
-        B, Hq, Wq, _ = info.shape
-        if zmap is None:
-            if temperature == 0.0:
-                z = jnp.zeros((B * Hq * Wq, self.dim), jnp.float32)
-            else:
-                z = jax.random.normal(key, (B * Hq * Wq, self.dim)) * temperature
-        else:
-            z = zmap.reshape(-1, self.dim)
-        pred = pwf.inverse(params["imnet"], z, info.reshape(B * Hq * Wq, -1))
-        pred = pred.reshape(B, Hq, Wq, self.dim)
+        pred = self.query_residual(params, inp, feat, coord, cell, temperature,
+                                   zmap, key)
         if self.patch_size == 1:
             lr_up = grid_sample_bilinear(inp, coord, padding_mode="border")
             return pred + lr_up

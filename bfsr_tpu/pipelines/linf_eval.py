@@ -1,0 +1,230 @@
+"""LINF(-LP) inference + evaluation pipeline.
+
+TPU-first redesign of the reference eval path (LINF-LP/test.py):
+
+* The reference row-chunks the HR grid 256 rows at a time with a host loop
+  of eager calls (test.py:20-47).  Here the whole image is ONE jitted
+  program: the query grid is flattened, padded to a static tile size, and
+  ``lax.scan`` runs the Fourier-head + flow over tiles — encoder, flow
+  forward, prior UNet, and flow inverse all stay resident on device with
+  no host round-trips.
+* Tiles are query-count-based (not row-based) so the compiled program's
+  shapes depend only on (LR shape, #tiles), maximising jit cache hits.
+* The learned-prior path (encode -> UNet -> invert) is fused into the same
+  program (BASELINE.json north star: single predict-then-invert pass).
+
+Metrics run host-side in float64 per the reference protocol.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bfsr_tpu.ops.interp import resize_bilinear
+from bfsr_tpu.utils import metrics as M
+from bfsr_tpu.utils.coords import make_coord_np, make_cell
+from bfsr_tpu.utils.misc import Averager
+from bfsr_tpu.ops.imresize import imresize
+
+
+def _pad_tiles(x, q, axis=1):
+    """Pad axis to a multiple of q and reshape into (tiles, q)."""
+    n = x.shape[axis]
+    n_pad = (q - n % q) % q
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (0, n_pad)
+    x = jnp.pad(x, pad_width, mode="edge")
+    new_shape = x.shape[:axis] + (x.shape[axis] // q, q) + x.shape[axis + 1:]
+    return x.reshape(new_shape)
+
+
+class LINFPredictor:
+    """Jitted whole-image predictor for a LINF(-patch) model + optional
+    prior module."""
+
+    def __init__(self, model, prior_model=None, tile_queries=65536):
+        self.model = model
+        self.prior = prior_model
+        self.tile_queries = tile_queries
+        self._predict = jax.jit(self._predict_impl, static_argnames=("use_prior", "sample"))
+
+    def _predict_impl(self, linf_params, prior_params, inp, coord, cell, gt_lr_up,
+                      temperature, key, use_prior, sample):
+        """inp: (1,h,w,3) normalized; coord: (1,H,W,2); cell: (1,2);
+        gt_lr_up: (1,H,W,d) residual (prior path).  Returns pred
+        (1,H*,W*,3) where H*=H (pixel) or H*ps (patch)."""
+        model = self.model
+        B, H, W, _ = coord.shape
+        q = self.tile_queries
+        n = H * W
+        feat = model.gen_feat(linf_params, inp)
+
+        coord_t = _pad_tiles(coord.reshape(B, n, 2), q)          # (B,T,q,2)
+        n_tiles = coord_t.shape[1]
+
+        if use_prior:
+            gt_t = _pad_tiles(gt_lr_up.reshape(B, n, -1), q)
+
+            def enc_body(_, xs):
+                c_t, g_t = xs
+                _, z = model.query_log_p(linf_params, inp, feat, c_t, cell, g_t)
+                return None, z
+
+            _, z_tiles = jax.lax.scan(
+                enc_body, None,
+                (coord_t.transpose(1, 0, 2, 3), gt_t.transpose(1, 0, 2, 3)),
+            )
+            z = z_tiles.transpose(1, 0, 2, 3).reshape(B, n_tiles * q, -1)[:, :n]
+            z_map = z.reshape(B, H, W, -1)
+            z_learned = self.prior.apply(prior_params, z_map, inp)
+            if z_learned.shape[1:3] != z_map.shape[1:3]:
+                z_learned = resize_bilinear(z_learned, z_map.shape[1:3])
+            zmap_t = _pad_tiles(z_learned.reshape(B, n, -1), q)
+        else:
+            zmap_t = None
+
+        def dec_body(carry, xs):
+            if use_prior:
+                c_t, zm_t = xs
+                res = model.query_residual(linf_params, inp, feat, c_t, cell,
+                                           zmap=zm_t)
+            elif sample:
+                c_t, k_t = xs
+                res = model.query_residual(linf_params, inp, feat, c_t, cell,
+                                           temperature=temperature, key=k_t)
+            else:
+                c_t = xs
+                res = model.query_residual(linf_params, inp, feat, c_t, cell)
+            return carry, res
+
+        if use_prior:
+            _, tiles = jax.lax.scan(
+                dec_body, None,
+                (coord_t.transpose(1, 0, 2, 3), zmap_t.transpose(1, 0, 2, 3)),
+            )
+        elif sample:
+            keys = jax.random.split(key, n_tiles)
+            _, tiles = jax.lax.scan(
+                dec_body, None, (coord_t.transpose(1, 0, 2, 3), keys)
+            )
+        else:
+            _, tiles = jax.lax.scan(dec_body, None, coord_t.transpose(1, 0, 2, 3))
+
+        d = self.model.dim
+        res = tiles.transpose(1, 0, 2, 3).reshape(B, n_tiles * q, d)[:, :n]
+        res = res.reshape(B, H, W, d)
+        if self.model.patch_size == 1:
+            from bfsr_tpu.ops.interp import grid_sample_bilinear
+
+            return res + grid_sample_bilinear(inp, coord, padding_mode="border")
+        return self.model._fold(res)
+
+    def predict(self, linf_params, prior_params, inp, coord, cell, gt_lr_up=None,
+                temperature=0.0, key=None):
+        use_prior = self.prior is not None and gt_lr_up is not None
+        sample = (not use_prior) and (temperature != 0.0)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._predict(linf_params, prior_params, inp, coord, cell,
+                             gt_lr_up if gt_lr_up is not None else coord[..., :1] * 0,
+                             jnp.float32(temperature), key,
+                             use_prior=use_prior, sample=sample)
+
+
+def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
+              eval_bsize=None, scale_max=4, verbose=False, detail=False,
+              randomness=False, temperature=0.0, patch=False, tile_queries=65536,
+              lpips_model=None, log_fn=print, limit=None):
+    """Mirror of LINF-LP/test.py:50-236 on the jitted predictor.
+
+    Batches come from bfsr_tpu.data.DataLoader (HWC numpy).  batch_size must
+    be 1 for full-image eval (the reference uses 1 as well).
+    """
+    if data_norm is None:
+        data_norm = {"inp": {"sub": [0], "div": [1]}, "gt": {"sub": [0], "div": [1]}}
+    inp_sub = np.array(data_norm["inp"]["sub"], np.float32)
+    inp_div = np.array(data_norm["inp"]["div"], np.float32)
+    gt_sub = np.array(data_norm["gt"]["sub"], np.float32)
+    gt_div = np.array(data_norm["gt"]["div"], np.float32)
+
+    if eval_type is None:
+        psnr_fn = M.calc_psnr
+        scale = scale_max
+    elif eval_type.startswith("div2k"):
+        scale = int(eval_type.split("-")[1])
+        psnr_fn = partial(M.calc_psnr, dataset="div2k", scale=scale)
+    elif eval_type.startswith("benchmark"):
+        scale = int(eval_type.split("-")[1])
+        psnr_fn = partial(M.calc_psnr, dataset="benchmark", scale=scale)
+    else:
+        raise NotImplementedError(eval_type)
+
+    predictor = LINFPredictor(model, prior_model, tile_queries=tile_queries)
+    val_psnr, val_ssim, val_lpips, val_lr, val_div = (Averager() for _ in range(5))
+
+    n_samples = 5 if randomness else 1
+    for idx, batch in enumerate(loader):
+        if limit is not None and idx >= limit:
+            break
+        inp = (batch["inp"] - inp_sub) / inp_div
+        inp_j = jnp.asarray(inp)
+        coord = jnp.asarray(batch["coord"])
+        cell = jnp.asarray(batch["cell"])
+        gt = batch["gt"]  # (1,H,W,3) raw [0,1]
+        gt_lr_up = jnp.asarray(batch["gt_lr_up"]) if "gt_lr_up" in batch else None
+
+        preds = []
+        for s in range(n_samples):
+            key = jax.random.PRNGKey(idx * 131 + s)
+            pred = predictor.predict(
+                model.params, prior_model.params if prior_model else None,
+                inp_j, coord, cell, gt_lr_up,
+                temperature=temperature, key=key,
+            )
+            pred = np.asarray(pred)[..., : gt.shape[1], : gt.shape[2], :]
+            if patch:
+                # patch model predicts the folded residual; add LR back
+                from bfsr_tpu.data.np_interp import resize_bilinear_np
+
+                pred = pred + resize_bilinear_np(inp[0], pred.shape[1:3])[None]
+            preds.append(pred)
+
+        denorm = [np.clip(p * gt_div + gt_sub, 0, 1) for p in preds]
+
+        # PSNR (averaged over samples when randomness)
+        ps = [psnr_fn(np.transpose(p, (0, 3, 1, 2)), np.transpose(gt, (0, 3, 1, 2)))
+              for p in denorm]
+        val_psnr.add(sum(ps) / len(ps), 1)
+
+        if detail:
+            ss = [M.calculate_ssim(p[0] * 255.0, gt[0] * 255.0) for p in denorm]
+            val_ssim.add(sum(ss) / len(ss), 1)
+            if lpips_model is not None:
+                lp = [
+                    float(lpips_model(np.clip(p, -1, 1), (gt - gt_sub) / gt_div))
+                    for p in preds
+                ]
+                val_lpips.add(sum(lp) / len(lp), 1)
+            lr_ps = []
+            for p in denorm:
+                lr_recon = imresize(p[0].astype(np.float64), scale=1.0 / scale)
+                lr_ps.append(psnr_fn(np.transpose(lr_recon[None], (0, 3, 1, 2)),
+                                     np.transpose(batch["inp"], (0, 3, 1, 2))))
+            val_lr.add(sum(lr_ps) / len(lr_ps), 1)
+        if randomness:
+            stack = np.stack([np.round(p[0] * 255.0) for p in denorm])
+            val_div.add(float(np.std(stack, axis=0).mean()), 1)
+
+        if verbose:
+            log_fn(f"[{idx}] psnr {val_psnr.item():.4f}")
+
+    if detail:
+        out = {"psnr": val_psnr.item(), "ssim": val_ssim.item(),
+               "lpips": val_lpips.item(), "LR recon": val_lr.item()}
+        if randomness:
+            out["diversity"] = val_div.item()
+        return out
+    return val_psnr.item()

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""LINF-LP evaluation CLI (mirror of LINF-LP/test.py:239-312).
+
+Usage:
+    python test.py --config configs/test/test-fast-div2k-4.yaml \
+        --model edsr-baseline-linf.pth [--prior_model prior.pth] \
+        [--detail] [--randomness] [--temperature T] [--patch] [--sample N]
+
+Accepts reference ``.pth`` checkpoints (converted on load) or bfsr_tpu
+``.ckpt`` files.
+"""
+
+import argparse
+import os
+
+import numpy as np
+import yaml
+from PIL import Image
+
+import bfsr_tpu.data  # noqa: F401
+import bfsr_tpu.models  # noqa: F401
+from bfsr_tpu import registry
+from bfsr_tpu.convert.load import load_linf_model, load_prior_model
+from bfsr_tpu.data.loader import DataLoader
+from bfsr_tpu.pipelines.linf_eval import eval_psnr
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--prior_model", default=None)
+    parser.add_argument("--window", default="0")
+    parser.add_argument("--scale_max", default="30")
+    parser.add_argument("--sample", type=int, default=0)
+    parser.add_argument("--detail", action="store_true")
+    parser.add_argument("--randomness", action="store_true")
+    parser.add_argument("--temperature", type=float, default=0)
+    parser.add_argument("--patch", action="store_true")
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--name_sub", type=str, default=None)
+    parser.add_argument("--limit", type=int, default=None,
+                        help="evaluate only the first N images")
+    parser.add_argument("--tile_queries", type=int, default=65536)
+    args = parser.parse_args()
+
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+
+    model = load_linf_model(args.model, freeze=True)
+    prior_model = load_prior_model(args.prior_model) if args.prior_model else None
+
+    if args.patch:
+        config["test_dataset"]["wrapper"]["name"] += "-patch"
+        if "downsampled" in config["test_dataset"]["wrapper"]["name"]:
+            config["test_dataset"]["wrapper"]["name"] += "-test"
+        config["test_dataset"]["wrapper"].setdefault("args", {})["patch_size"] = \
+            model.patch_size
+
+    spec = config["test_dataset"]
+    dataset = registry.make(spec["dataset"])
+    dataset = registry.make(spec["wrapper"], args={"dataset": dataset})
+    loader = DataLoader(dataset, batch_size=spec["batch_size"], num_workers=8)
+
+    res = eval_psnr(
+        loader, model,
+        prior_model=prior_model,
+        data_norm=config.get("data_norm"),
+        eval_type=config.get("eval_type"),
+        eval_bsize=config.get("eval_bsize"),
+        scale_max=int(args.scale_max),
+        verbose=True,
+        detail=args.detail,
+        randomness=args.randomness,
+        temperature=args.temperature,
+        patch=args.patch,
+        tile_queries=args.tile_queries,
+        limit=args.limit,
+    )
+    if args.detail:
+        for key, val in res.items():
+            print(f"{key}: {val:.3f}")
+    else:
+        print(f"psnr: {res:.3f}")
+
+
+if __name__ == "__main__":
+    main()
