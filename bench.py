@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark: LINF-LP learned-prior 4x SR throughput (HR megapixels/sec/chip).
+
+Workload (matches BASELINE.md's operative target): full learned-prior
+inference — EDSR-baseline encode, flow-forward z on the LR-up residual,
+UNet prior, flow inverse, LR add-back — LR 128x128 -> HR 512x512, batch 1,
+single chip, steady state.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "MP/s/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against the PyTorch reference pipeline running the
+identical workload on CPU (the reference is CUDA-only; its hot loops were
+timed via the read-only mount with .cuda() no-op'ed — see
+``--measure-baseline``).  The measured value is cached in
+``bench_baseline.json``.
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+LR_SIZE = 128
+SCALE = 4
+WARMUP = 2
+ITERS = 8
+
+
+def _workload(rng):
+    h = w = LR_SIZE
+    H, W = h * SCALE, w * SCALE
+    inp = rng.random((1, h, w, 3)).astype(np.float32)
+    gt_lr_up = (rng.random((1, H, W, 3)) - 0.5).astype(np.float32)
+    return inp, gt_lr_up, H, W
+
+
+def run_tpu_bench():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from bfsr_tpu.pipelines.linf_eval import LINFPredictor
+    from bfsr_tpu.utils.coords import make_coord_np, make_cell
+
+    model, prior = _flagship()
+    predictor = LINFPredictor(model, prior, tile_queries=65536)
+
+    rng = np.random.default_rng(0)
+    inp, gt_lr_up, H, W = _workload(rng)
+    inp_j = jnp.asarray(inp)
+    gt_j = jnp.asarray(gt_lr_up)
+    coord = jnp.asarray(make_coord_np((H, W), flatten=False)[None])
+    cell = jnp.asarray(make_cell((H, W))[None])
+
+    def once():
+        out = predictor.predict(model.params, prior.params, inp_j, coord, cell, gt_j)
+        jax.block_until_ready(out)
+        return out
+
+    for _ in range(WARMUP):
+        once()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        once()
+    dt = (time.perf_counter() - t0) / ITERS
+    mps = (H * W) / dt / 1e6
+    return mps, dt
+
+
+def measure_torch_baseline():
+    """Time the reference PyTorch pipeline (CPU, .cuda() no-op) on the same
+    workload.  Requires the read-only reference mount."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import torch
+
+    from ref_oracle import linf_modules, patch_cuda_noop, reference_available
+
+    if not reference_available():
+        raise SystemExit("reference mount not available")
+    patch_cuda_noop()
+    torch.manual_seed(0)
+    with linf_modules("edsr", "flow", "unet", "linf") as m:
+        net = m["linf"].LINF(
+            encoder_spec={"name": "edsr-baseline", "args": {"no_upsampling": True}},
+            imnet_spec={"name": "flow", "args": {"name": "flow"}},
+            flow_layers=10, num_layer=3, hidden_dim=256,
+        )
+        net.eval()
+        prior = m["unet"].make_unet(in_chans=3, depth=3, dim=64, bilinear=True)
+        prior.eval()
+        with torch.no_grad():
+            for lin in list(net.imnet.linears) + [net.imnet.last]:
+                lin._weight += torch.eye(3)
+
+        rng = np.random.default_rng(0)
+        inp, gt_lr_up, H, W = _workload(rng)
+        inp_t = torch.from_numpy(np.transpose(inp, (0, 3, 1, 2)))
+        gt_t = torch.from_numpy(np.transpose(gt_lr_up, (0, 3, 1, 2)))
+        import utils as ref_utils
+
+        coord = ref_utils.make_coord((H, W), flatten=False).unsqueeze(0)
+        cell = torch.tensor([[2.0 / H, 2.0 / W]], dtype=torch.float32)
+
+        def once():
+            with torch.no_grad():
+                feat = net("gen_feat", inp=inp_t)
+                # reference row-chunking (test.py:20-47)
+                zs = []
+                row = 0
+                while row < H:
+                    _, z = net("query_log_p", inp=inp_t, feat=feat,
+                               coord=coord[:, row:row + 256], cell=cell,
+                               gt=gt_t[:, :, row:row + 256])
+                    zs.append(z)
+                    row += 256
+                z = torch.cat(zs, dim=2)
+                z_learned = prior(z, inp_t)
+                preds = []
+                row = 0
+                while row < H:
+                    pred = net("query_rgb", inp=inp_t, feat=feat,
+                               coord=coord[:, row:row + 256], cell=cell,
+                               zmap=z_learned[:, :, row:row + 256])
+                    preds.append(pred)
+                    row += 256
+                return torch.cat(preds, dim=2)
+
+        once()  # warmup
+        t0 = time.perf_counter()
+        n = 2
+        for _ in range(n):
+            once()
+        dt = (time.perf_counter() - t0) / n
+    mps = (H * W) / dt / 1e6
+    return mps, dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--measure-baseline", action="store_true")
+    args = parser.parse_args()
+
+    if args.measure_baseline:
+        mps, dt = measure_torch_baseline()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"baseline_mps_cpu_torch": mps, "sec_per_image": dt,
+                       "workload": f"LR{LR_SIZE}->x{SCALE}, learned-prior path",
+                       "note": "reference PyTorch pipeline, CPU, .cuda() no-op"},
+                      f, indent=1)
+        print(json.dumps({"baseline_mps": mps, "sec_per_image": dt}))
+        return
+
+    mps, dt = run_tpu_bench()
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f).get("baseline_mps_cpu_torch")
+    vs = (mps / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "linf_lp_4x_sr_throughput",
+        "value": round(mps, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "sec_per_512x512_image": round(dt, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+from bfsr_tpu.parallel.mesh import make_mesh, shard_batch, replicate  # noqa: F401
