@@ -22,10 +22,17 @@ import numpy as np
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 # TPU matmuls truncate f32 inputs to bf16 at DEFAULT precision; that breaks
-# PSNR parity with the f32 CUDA reference.  HIGHEST (3-pass bf16 == f32
-# accuracy) is the correctness default; perf-tuned paths may lower it via
-# set_default_precision / the precision kwarg.
-_PRECISION = jax.lax.Precision.HIGHEST
+# PSNR parity with the f32 CUDA reference.  HIGH (3-pass bf16, ~f32
+# accuracy at half the cost of HIGHEST) is the default for convs/linears;
+# the flow/log-det paths pin HIGHEST internally.  Override with
+# BFSR_PRECISION=default|high|highest or set_default_precision().
+import os as _os
+
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("BFSR_PRECISION", "high")]
 
 
 def set_default_precision(p):

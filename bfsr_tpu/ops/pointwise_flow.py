@@ -56,6 +56,24 @@ def cache_inverses(params):
     return out
 
 
+def _matmul_t(x, w):
+    """x @ w.T with w (d, d) torch-layout.
+
+    For small d (the pixel model's d=3) an MXU dot wastes 125/128 lanes;
+    unrolled scalar-vector FMAs run on the VPU and fuse with the
+    surrounding elementwise affine chain.
+    """
+    d = w.shape[-1]
+    if d <= 4:
+        cols = [
+            sum(x[..., i] * w[o, i] for i in range(d))
+            for o in range(d)
+        ]
+        return jnp.stack(cols, axis=-1)
+    return jnp.dot(x, w.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _affine_params(affine_info, i, d):
     """Layer i's (scale, shift), each (N, d), from (N, L*2d) packed info."""
     chunk = jax.lax.dynamic_slice_in_dim(affine_info, i * 2 * d, 2 * d, axis=-1)
@@ -82,14 +100,12 @@ def forward(params, x, affine_info):
     z = x
     total = jnp.zeros(x.shape[:-1], jnp.float32)
     for i in range(n_layers):
-        z = jnp.dot(z, params["w"][i].T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST) + params["b"][i]
+        z = _matmul_t(z, params["w"][i]) + params["b"][i]
         total = total + lad[i]
         scale, shift = _affine_params(affine_info, i, d)
         z = z * scale + shift
         total = total + jnp.sum(jnp.log(scale), axis=-1)
-    z = jnp.dot(z, params["w"][n_layers].T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + params["b"][n_layers]
+    z = _matmul_t(z, params["w"][n_layers]) + params["b"][n_layers]
     total = total + lad[n_layers]
     total = total + jnp.sum(-0.5 * (z ** 2 + LOG2PI), axis=-1)
     return z, total
@@ -105,8 +121,7 @@ def inverse(params, z, affine_info):
         w_inv = params["w_inv"].astype(jnp.float32)
 
         def lin_inv(i, x):
-            return jnp.dot(x - params["b"][i], w_inv[i].T, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+            return _matmul_t(x - params["b"][i], w_inv[i])
     else:
         def lin_inv(i, x):
             # training-the-flow fallback: direct solve (differentiable)

@@ -43,7 +43,15 @@ def _pad_tiles(x, q, axis=1):
 
 class LINFPredictor:
     """Jitted whole-image predictor for a LINF(-patch) model + optional
-    prior module."""
+    prior module.
+
+    Requires separable (regular) query grids — coord[b,i,j,0] varying only
+    with i, coord[b,i,j,1] only with j — which holds for every
+    make_coord-derived grid the eval paths use.  The per-query affine
+    parameters are computed ONCE per image with per-axis slice-gathers
+    (the reference recomputes them for the forward and inverse passes and
+    uses 2-D grid_sample gathers, linf.py:40-114 vs :116-195).
+    """
 
     def __init__(self, model, prior_model=None, tile_queries=65536):
         self.model = model
@@ -51,76 +59,90 @@ class LINFPredictor:
         self.tile_queries = tile_queries
         self._predict = jax.jit(self._predict_impl, static_argnames=("use_prior", "sample"))
 
+    def _tile_rows(self, W):
+        rows = max(8, self.tile_queries // max(W, 1))
+        return max(8, (rows // 8) * 8)
+
     def _predict_impl(self, linf_params, prior_params, inp, coord, cell, gt_lr_up,
                       temperature, key, use_prior, sample):
         """inp: (1,h,w,3) normalized; coord: (1,H,W,2); cell: (1,2);
         gt_lr_up: (1,H,W,d) residual (prior path).  Returns pred
         (1,H*,W*,3) where H*=H (pixel) or H*ps (patch)."""
+        from bfsr_tpu.models.linf import linf_affine_info_grid
+        from bfsr_tpu.ops import pointwise_flow as pwf
+
         model = self.model
+        d = model.dim
         B, H, W, _ = coord.shape
-        q = self.tile_queries
-        n = H * W
+        T = self._tile_rows(W)
+        n_tiles = -(-H // T)
+        Hp = n_tiles * T
         feat = model.gen_feat(linf_params, inp)
 
-        coord_t = _pad_tiles(coord.reshape(B, n, 2), q)          # (B,T,q,2)
-        n_tiles = coord_t.shape[1]
+        coord_y = coord[:, :, 0, 0]  # (B, H)
+        coord_x = coord[:, 0, :, 1]  # (B, W)
+        cy = jnp.pad(coord_y, ((0, 0), (0, Hp - H)), mode="edge")
+        cy_t = cy.reshape(B, n_tiles, T).transpose(1, 0, 2)  # (nt, B, T)
+
+        def info_of(cy_tile):
+            return linf_affine_info_grid(linf_params, feat, cy_tile, coord_x,
+                                         cell, model.hidden_dim)
 
         if use_prior:
-            gt_t = _pad_tiles(gt_lr_up.reshape(B, n, -1), q)
+            gt_p = jnp.pad(gt_lr_up, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+            gt_t = gt_p.reshape(B, n_tiles, T, W, -1).transpose(1, 0, 2, 3, 4)
 
             def enc_body(_, xs):
-                c_t, g_t = xs
-                _, z = model.query_log_p(linf_params, inp, feat, c_t, cell, g_t)
-                return None, z
+                cy_tile, g_tile = xs
+                info = info_of(cy_tile)
+                z, _ = pwf.forward(linf_params["imnet"], g_tile.reshape(-1, d),
+                                   info.reshape(B * T * W, -1))
+                return None, (info, z.reshape(B, T, W, d))
 
-            _, z_tiles = jax.lax.scan(
-                enc_body, None,
-                (coord_t.transpose(1, 0, 2, 3), gt_t.transpose(1, 0, 2, 3)),
-            )
-            z = z_tiles.transpose(1, 0, 2, 3).reshape(B, n_tiles * q, -1)[:, :n]
-            z_map = z.reshape(B, H, W, -1)
+            _, (info_t, z_t) = jax.lax.scan(enc_body, None, (cy_t, gt_t))
+            z_map = z_t.transpose(1, 0, 2, 3, 4).reshape(B, Hp, W, d)[:, :H]
             z_learned = self.prior.apply(prior_params, z_map, inp)
             if z_learned.shape[1:3] != z_map.shape[1:3]:
                 z_learned = resize_bilinear(z_learned, z_map.shape[1:3])
-            zmap_t = _pad_tiles(z_learned.reshape(B, n, -1), q)
-        else:
-            zmap_t = None
+            zl_p = jnp.pad(z_learned, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+            zl_t = zl_p.reshape(B, n_tiles, T, W, d).transpose(1, 0, 2, 3, 4)
 
-        def dec_body(carry, xs):
-            if use_prior:
-                c_t, zm_t = xs
-                res = model.query_residual(linf_params, inp, feat, c_t, cell,
-                                           zmap=zm_t)
-            elif sample:
-                c_t, k_t = xs
-                res = model.query_residual(linf_params, inp, feat, c_t, cell,
-                                           temperature=temperature, key=k_t)
+            def dec_body(_, xs):
+                info, zm = xs
+                res = pwf.inverse(linf_params["imnet"], zm.reshape(-1, d),
+                                  info.reshape(B * T * W, -1))
+                return None, res.reshape(B, T, W, d)
+
+            _, res_t = jax.lax.scan(dec_body, None, (info_t, zl_t))
+        else:
+            if sample:
+                keys = jax.random.split(key, n_tiles)
+
+                def body(_, xs):
+                    cy_tile, k = xs
+                    info = info_of(cy_tile)
+                    z = jax.random.normal(k, (B * T * W, d)) * temperature
+                    res = pwf.inverse(linf_params["imnet"], z,
+                                      info.reshape(B * T * W, -1))
+                    return None, res.reshape(B, T, W, d)
+
+                _, res_t = jax.lax.scan(body, None, (cy_t, keys))
             else:
-                c_t = xs
-                res = model.query_residual(linf_params, inp, feat, c_t, cell)
-            return carry, res
+                def body(_, cy_tile):
+                    info = info_of(cy_tile)
+                    z = jnp.zeros((B * T * W, d), jnp.float32)
+                    res = pwf.inverse(linf_params["imnet"], z,
+                                      info.reshape(B * T * W, -1))
+                    return None, res.reshape(B, T, W, d)
 
-        if use_prior:
-            _, tiles = jax.lax.scan(
-                dec_body, None,
-                (coord_t.transpose(1, 0, 2, 3), zmap_t.transpose(1, 0, 2, 3)),
-            )
-        elif sample:
-            keys = jax.random.split(key, n_tiles)
-            _, tiles = jax.lax.scan(
-                dec_body, None, (coord_t.transpose(1, 0, 2, 3), keys)
-            )
-        else:
-            _, tiles = jax.lax.scan(dec_body, None, coord_t.transpose(1, 0, 2, 3))
+                _, res_t = jax.lax.scan(body, None, cy_t)
 
-        d = self.model.dim
-        res = tiles.transpose(1, 0, 2, 3).reshape(B, n_tiles * q, d)[:, :n]
-        res = res.reshape(B, H, W, d)
-        if self.model.patch_size == 1:
+        res = res_t.transpose(1, 0, 2, 3, 4).reshape(B, Hp, W, d)[:, :H]
+        if model.patch_size == 1:
             from bfsr_tpu.ops.interp import grid_sample_bilinear
 
             return res + grid_sample_bilinear(inp, coord, padding_mode="border")
-        return self.model._fold(res)
+        return model._fold(res)
 
     def predict(self, linf_params, prior_params, inp, coord, cell, gt_lr_up=None,
                 temperature=0.0, key=None):
