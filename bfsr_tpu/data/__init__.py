@@ -5,4 +5,5 @@ sr-implicit-* wrapper family.
 
 from bfsr_tpu.data import image_folder  # noqa: F401
 from bfsr_tpu.data import wrappers  # noqa: F401
+from bfsr_tpu.data import pkl_dataset  # noqa: F401
 from bfsr_tpu.data.loader import DataLoader  # noqa: F401

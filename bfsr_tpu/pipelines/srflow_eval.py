@@ -1,0 +1,63 @@
+"""SRFlow-LP inference pipeline (mirror of SRFlow-LP/code/test.py:85-176).
+
+Per image: pad LR to a multiple of 2 (reflect), bilinear-upsample LR x scale,
+encode epses with no quantization noise, standardize each eps per-pixel
+across channels, run the two-branch UNet prior, decode — all inside one
+jitted program per LR shape.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bfsr_tpu.models.srflow.srflow_net import standardize_epses
+from bfsr_tpu.ops.interp import resize_bilinear
+
+
+class SRFlowLPPredictor:
+    def __init__(self, model, prior_model):
+        self.model = model
+        self.prior = prior_model
+        self._fn = jax.jit(self._impl)
+
+    def _impl(self, params, prior_params, lr):
+        model = self.model
+        s = model.scale
+        h, w = lr.shape[1], lr.shape[2]
+        lr_up = resize_bilinear(lr, (h * s, w * s))
+        lr_enc = model.preprocess(params, lr)
+        epses, _, _ = model.normal_flow(params, lr_up, lr, add_gt_noise=False,
+                                        lr_enc=lr_enc)
+        epses = standardize_epses(epses)
+        learned = self.prior.apply(prior_params, epses)
+        sr, _ = model.reverse_flow(params, lr, epses=learned,
+                                   add_gt_noise=False, lr_enc=lr_enc)
+        return sr
+
+    def predict(self, lr_img01):
+        """lr_img01: (h, w, 3) float [0,1] numpy.  Returns SR numpy [0,1],
+        cropped to h*scale x w*scale."""
+        h, w = lr_img01.shape[:2]
+        pad_h = int(np.ceil(h / 2) * 2 - h)
+        pad_w = int(np.ceil(w / 2) * 2 - w)
+        padded = np.pad(lr_img01, ((0, pad_h), (0, pad_w), (0, 0)), "reflect")
+        sr = self._fn(self.model.params, self.prior.params,
+                      jnp.asarray(padded[None], jnp.float32))
+        sr = np.asarray(jnp.clip(sr, 0.0, 1.0))[0]
+        s = self.model.scale
+        return sr[: h * s, : w * s]
+
+
+def sample_sr(model, lr_img01, heat=0.0, seed=0):
+    """Plain SRFlow sampling at temperature `heat` (SRFlow_model.get_sr)."""
+    h, w = lr_img01.shape[:2]
+    pad_h = int(np.ceil(h / 2) * 2 - h)
+    pad_w = int(np.ceil(w / 2) * 2 - w)
+    padded = np.pad(lr_img01, ((0, pad_h), (0, pad_w), (0, 0)), "reflect")
+    lr = jnp.asarray(padded[None], jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    z = model.sample_z(key, heat, 1, lr.shape[1:3])
+    sr = model.get_sr(model.params, lr, heat=heat, z=z, key=key)
+    s = model.scale
+    return np.asarray(jnp.clip(sr, 0.0, 1.0))[0][: h * s, : w * s]

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""SRFlow base-model training CLI.
+
+The reference ships the SRFlow training *code path* (SRFlow_model.py) but no
+runnable train script ("coming soon", SRFlow-LP/README.md); this CLI closes
+that gap using the reference conf schema:
+
+    python srflow_train.py <conf.yml> [--niter N]
+
+Expects `datasets.train` with mode LRHR_PKL pickles (see prepare_data.py).
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+import bfsr_tpu.data  # noqa: F401
+import bfsr_tpu.models  # noqa: F401
+from bfsr_tpu import registry, utils
+from bfsr_tpu.data.loader import DataLoader
+from bfsr_tpu.pipelines.srflow_train import make_srflow_train_step
+from bfsr_tpu.train import checkpoints as ckpt
+from bfsr_tpu.train.optim import multi_step_restart
+from bfsr_tpu.utils.misc import set_save_path
+import optax
+
+from srflow_test import build_srflow_from_conf
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("conf")
+    parser.add_argument("--niter", type=int, default=None)
+    args = parser.parse_args()
+    with open(args.conf) as f:
+        opt = yaml.safe_load(f)
+
+    train_opt = opt["train"]
+    niter = args.niter or train_opt["niter"]
+    name = opt.get("name", "srflow")
+    save_path = os.path.join("./save", name)
+    log, writer = set_save_path(save_path)
+
+    dtrain = opt["datasets"]["train"]
+    dataset = registry.make({"name": "lrhr-pkl", "args": {
+        "dataroot_GT": dtrain["dataroot_GT"],
+        "dataroot_LQ": dtrain["dataroot_LQ"],
+        "use_flip": dtrain.get("use_flip", False),
+        "gt_size": dtrain.get("GT_size"),
+    }})
+    loader = DataLoader(dataset, batch_size=dtrain["batch_size"], shuffle=True,
+                        num_workers=dtrain.get("n_workers", 3), drop_last=True)
+
+    model = build_srflow_from_conf(opt)
+    # RRDB init from pretrained (path.pretrain_model_G), like load_submodule
+    pre = (opt.get("path") or {}).get("pretrain_model_G")
+    if pre and os.path.exists(pre):
+        from bfsr_tpu.convert.torch_import import load_torch_checkpoint, convert_rrdb
+
+        sd = load_torch_checkpoint(pre)
+        sd = sd.get("state_dict", sd)
+        model.params["rrdb"] = convert_rrdb(sd, nb=model.args["nb"],
+                                            upsampling=True, scale=model.scale)
+        log(f"loaded pretrained RRDB from {pre}")
+
+    # actnorm data-dependent priming from the first batch
+    # (FlowActNorms.py:45-59) happens implicitly through training here;
+    # converted checkpoints carry trained actnorm stats instead.
+
+    base_lr = float(train_opt["lr_G"])
+    steps_rel = train_opt.get("lr_steps_rel")
+    lr_steps = ([int(r * niter) for r in steps_rel] if steps_rel
+                else train_opt.get("lr_steps", []))
+    schedule = multi_step_restart(base_lr, lr_steps, train_opt.get("lr_gamma", 0.5))
+    optimizer = optax.adam(schedule, b1=train_opt.get("beta1", 0.9),
+                           b2=train_opt.get("beta2", 0.99))
+    opt_state = optimizer.init(model.params)
+
+    delay = opt["network_G"].get("train_RRDB_delay")
+    unfreeze = int(delay * niter) if delay is not None else None
+    step = make_srflow_train_step(model, optimizer,
+                                  weight_fl=train_opt.get("weight_fl", 1.0) or 1.0,
+                                  weight_l1=train_opt.get("weight_l1", 0.0) or 0.0,
+                                  rrdb_unfreeze_step=unfreeze)
+
+    params = model.params
+    it = 0
+    key = jax.random.PRNGKey(train_opt.get("manual_seed", 0))
+    print_freq = (opt.get("logger") or {}).get("print_freq", 100)
+    save_freq = int((opt.get("logger") or {}).get("save_checkpoint_freq", 1000))
+    while it < niter:
+        for batch in loader:
+            if it >= niter:
+                break
+            key, sub = jax.random.split(key)
+            dev = {"GT": jnp.asarray(batch["GT"]), "LQ": jnp.asarray(batch["LQ"])}
+            params, opt_state, mets = step(params, opt_state, dev, sub,
+                                           jnp.asarray(it))
+            if it % print_freq == 0:
+                log(f"iter {it}: " + ", ".join(
+                    f"{k}={float(v):.4f}" for k, v in mets.items()))
+                writer.add_scalars("train", {k: float(v) for k, v in mets.items()}, it)
+            if it and it % save_freq == 0:
+                model.params = params
+                ckpt.save_checkpoint(os.path.join(save_path, f"G_{it}.ckpt"),
+                                     {"params": params, "spec": model.args,
+                                      "iter": it})
+                ckpt.keep_newest(save_path, "G_", 2)
+            it += 1
+    model.params = params
+    ckpt.save_checkpoint(os.path.join(save_path, "G_latest.ckpt"),
+                         {"params": params, "spec": model.args, "iter": it})
+    log("training done")
+
+
+if __name__ == "__main__":
+    main()
