@@ -308,6 +308,74 @@ def convert_srflow(sd, plan, nb=23, scale=4, freeze=True):
     return {"rrdb": rrdb, "flow": {"layers": layers}}
 
 
+def convert_swinir(sd, depths=(6,) * 6):
+    """LINF-LP/models/swinir.py keys -> our SwinIR tree."""
+    def ln(prefix):
+        return {"scale": jnp.asarray(_np(sd[prefix + ".weight"])),
+                "bias": jnp.asarray(_np(sd[prefix + ".bias"]))}
+
+    p = {
+        "conv_first": conv_p(sd, "conv_first"),
+        "patch_norm": ln("patch_embed.norm") if "patch_embed.norm.weight" in sd else None,
+        "layers": [],
+        "norm": ln("norm"),
+        "conv_after_body": conv_p(sd, "conv_after_body"),
+        "conv_before_upsample": conv_p(sd, "conv_before_upsample.0"),
+    }
+    for li, depth in enumerate(depths):
+        blocks = []
+        for bi in range(depth):
+            pre = f"layers.{li}.residual_group.blocks.{bi}"
+            blocks.append({
+                "norm1": ln(pre + ".norm1"),
+                "attn": {
+                    "qkv": linear_p(sd, pre + ".attn.qkv"),
+                    "proj": linear_p(sd, pre + ".attn.proj"),
+                    "bias_table": jnp.asarray(
+                        _np(sd[pre + ".attn.relative_position_bias_table"])),
+                },
+                "norm2": ln(pre + ".norm2"),
+                "mlp_fc1": linear_p(sd, pre + ".mlp.fc1"),
+                "mlp_fc2": linear_p(sd, pre + ".mlp.fc2"),
+            })
+        p["layers"].append({"blocks": blocks, "conv": conv_p(sd, f"layers.{li}.conv")})
+    return p
+
+
+def convert_swin_latent(sd, depths=(2, 2, 6, 2)):
+    """LINF-LP/models/swin_transformer.py @'swin_latent' keys."""
+    def ln(prefix):
+        return {"scale": jnp.asarray(_np(sd[prefix + ".weight"])),
+                "bias": jnp.asarray(_np(sd[prefix + ".bias"]))}
+
+    p = {
+        "input_proj": _dense5(sd, "input_proj"),
+        "lr_proj_conv": conv_p(sd, "lr_proj.0"),
+        "lr_proj_dense": _dense5(sd, "lr_proj.2"),
+        "layers": [],
+        "norm": ln("norm"),
+        "head": [conv_p(sd, f"head.{i}") for i in (0, 2, 4)],
+    }
+    for li, depth in enumerate(depths):
+        blocks = []
+        for bi in range(depth):
+            pre = f"layers.{li}.blocks.{bi}"
+            blocks.append({
+                "norm1": ln(pre + ".norm1"),
+                "attn": {
+                    "qkv": linear_p(sd, pre + ".attn.qkv"),
+                    "proj": linear_p(sd, pre + ".attn.proj"),
+                    "bias_table": jnp.asarray(
+                        _np(sd[pre + ".attn.relative_position_bias_table"])),
+                },
+                "norm2": ln(pre + ".norm2"),
+                "mlp_fc1": linear_p(sd, pre + ".mlp.fc1"),
+                "mlp_fc2": linear_p(sd, pre + ".mlp.fc2"),
+            })
+        p["layers"].append({"blocks": blocks})
+    return p
+
+
 def convert_vgg19(sd, feature_layer=34):
     """torchvision vgg19().features state dict -> our conv stack."""
     convs = []
@@ -359,4 +427,6 @@ def convert_prior_checkpoint(ckpt):
     if name == "edsr-baseline-latent":
         return {"name": name, "args": args,
                 "params": convert_edsr_latent(sd, args.get("n_resblocks", 16))}
+    if name == "swin_latent":
+        return {"name": name, "args": args, "params": convert_swin_latent(sd)}
     raise NotImplementedError(name)

@@ -15,6 +15,9 @@ from bfsr_tpu.models import flow_linf  # noqa: F401
 from bfsr_tpu.models import linf  # noqa: F401
 from bfsr_tpu.models import unet  # noqa: F401
 from bfsr_tpu.models import edsr_latent  # noqa: F401
+from bfsr_tpu.models import swinir  # noqa: F401
+from bfsr_tpu.models import swin_latent  # noqa: F401
+from bfsr_tpu.models import lpips  # noqa: F401
 from bfsr_tpu.models import mlp  # noqa: F401
 from bfsr_tpu.models import vgg  # noqa: F401
 from bfsr_tpu.models.srflow import srflow_net  # noqa: F401

@@ -55,13 +55,50 @@ def _scoped_modules(new_modules, path_entries):
                 sys.modules[name] = mod
 
 
+def _fake_timm():
+    """Minimal timm.models.layers stub (DropPath/to_2tuple/trunc_normal_)
+    so the reference swinir/swin_transformer modules import without timm."""
+    import torch
+    import torch.nn as tnn
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    class DropPath(tnn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std + mean, b * std + mean)
+        return tensor
+
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    models.layers = layers
+    timm.models = models
+    return {"timm": timm, "timm.models": models, "timm.models.layers": layers}
+
+
 @contextmanager
 def linf_modules(*names):
     """Yield a dict of imported LINF-LP model modules, e.g.
     linf_modules('edsr', 'flow', 'linf')."""
     fake = types.ModuleType("models")
     fake.__path__ = [os.path.join(LINF_ROOT, "models")]
-    with _scoped_modules({"models": fake}, [LINF_ROOT]):
+    mods_map = {"models": fake}
+    if "timm" not in sys.modules:
+        mods_map.update(_fake_timm())
+    with _scoped_modules(mods_map, [LINF_ROOT]):
         reg = importlib.import_module("models.models")
         fake.register = reg.register
         fake.make = reg.make
