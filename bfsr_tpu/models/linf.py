@@ -130,7 +130,26 @@ def _mlp_apply(params, features):
     return x.reshape(*lead, -1)
 
 
-def linf_affine_info_grid(params, feat, coord_y, coord_x, cell, hidden_dim):
+def _mlp_apply_cm(params, features, pad_rows):
+    """MLP with a channel-major final matmul: (..., hidden*4) ->
+    (pad_rows, N).  The output rows beyond the true out-dim are zero —
+    sized for the Pallas flow kernels' (64, N) layout so no transpose or
+    pad touches the 60-row affine-info stream."""
+    x = features.reshape(-1, features.shape[-1])
+    n_mlp = len(params["mlp"])
+    for lp in params["mlp"][:-1]:
+        x = fnn.relu(fnn.linear(x, lp))
+    last = params["mlp"][-1]
+    out_dim = last["w"].shape[-1]
+    w = jnp.pad(last["w"], ((0, 0), (0, pad_rows - out_dim)))
+    b = jnp.pad(last["b"], (0, pad_rows - out_dim))
+    out_cm = jnp.einsum("nc,co->on", x, w, preferred_element_type=jnp.float32,
+                        precision=fnn.default_precision())
+    return out_cm + b[:, None]
+
+
+def linf_affine_info_grid(params, feat, coord_y, coord_x, cell, hidden_dim,
+                          channel_major_rows=0):
     """Separable fast path for *regular* query grids.
 
     coord_y: (B, Hq) per-row height coords; coord_x: (B, Wq) per-column
@@ -191,6 +210,8 @@ def linf_affine_info_grid(params, feat, coord_y, coord_x, cell, hidden_dim):
         for i in range(4)
     ]
     features = jnp.concatenate(feats, axis=-1)
+    if channel_major_rows:
+        return _mlp_apply_cm(params, features, channel_major_rows)
     return _mlp_apply(params, features)
 
 

@@ -53,10 +53,13 @@ class LINFPredictor:
     uses 2-D grid_sample gathers, linf.py:40-114 vs :116-195).
     """
 
-    def __init__(self, model, prior_model=None, tile_queries=65536):
+    def __init__(self, model, prior_model=None, tile_queries=65536, use_pallas=None):
         self.model = model
         self.prior = prior_model
         self.tile_queries = tile_queries
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu" and model.patch_size == 1)
+        self.use_pallas = use_pallas
         self._predict = jax.jit(self._predict_impl, static_argnames=("use_prior", "sample"))
 
     def _tile_rows(self, W):
@@ -87,6 +90,12 @@ class LINFPredictor:
         def info_of(cy_tile):
             return linf_affine_info_grid(linf_params, feat, cy_tile, coord_x,
                                          cell, model.hidden_dim)
+
+        if self.use_pallas and B == 1 and d == 3:
+            return self._predict_pallas(linf_params, prior_params, inp, coord,
+                                        cell, gt_lr_up, temperature, key,
+                                        use_prior, sample, feat, cy_t, coord_x,
+                                        H, W, Hp, T, n_tiles)
 
         if use_prior:
             gt_p = jnp.pad(gt_lr_up, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
@@ -143,6 +152,80 @@ class LINFPredictor:
 
             return res + grid_sample_bilinear(inp, coord, padding_mode="border")
         return model._fold(res)
+
+    def _predict_pallas(self, linf_params, prior_params, inp, coord, cell,
+                        gt_lr_up, temperature, key, use_prior, sample, feat,
+                        cy_t, coord_x, H, W, Hp, T, n_tiles):
+        """Channel-major tile pipeline feeding the fused Pallas flow
+        kernels: affine info emitted directly as (64, T*W) rows, z carried
+        as (8, T*W) — no layout churn around the kernels."""
+        from bfsr_tpu.models.linf import linf_affine_info_grid
+        from bfsr_tpu.ops.pallas.linf_flow import flow_forward_cm, flow_inverse_cm
+        from bfsr_tpu.ops.interp import grid_sample_bilinear
+
+        model = self.model
+        imnet = linf_params["imnet"]
+        q = T * W
+
+        def info_cm_of(cy_tile):
+            return linf_affine_info_grid(linf_params, feat, cy_tile, coord_x,
+                                         cell, model.hidden_dim,
+                                         channel_major_rows=64)
+
+        def to_cm8(img_rows):  # (1, T, W, 3) -> (8, q)
+            x = img_rows.reshape(q, 3).T
+            return jnp.pad(x, ((0, 5), (0, 0)))
+
+        if use_prior:
+            gt_p = jnp.pad(gt_lr_up, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+            gt_t = gt_p.reshape(1, n_tiles, T, W, 3).transpose(1, 0, 2, 3, 4)
+
+            def enc_body(_, xs):
+                cy_tile, g_tile = xs
+                info_cm = info_cm_of(cy_tile)
+                z_cm = flow_forward_cm(imnet, to_cm8(g_tile), info_cm)
+                return None, (info_cm, z_cm)
+
+            _, (info_t, z_t) = jax.lax.scan(enc_body, None, (cy_t, gt_t))
+            # (nt, 8, q) -> (1, Hp, W, 3)
+            z_map = z_t[:, :3].transpose(0, 2, 1).reshape(1, Hp, W, 3)[:, :H]
+            z_learned = self.prior.apply(prior_params, z_map, inp)
+            if z_learned.shape[1:3] != z_map.shape[1:3]:
+                z_learned = resize_bilinear(z_learned, z_map.shape[1:3])
+            zl_p = jnp.pad(z_learned, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+            zl_t = zl_p.reshape(1, n_tiles, T, W, 3).transpose(1, 0, 2, 3, 4)
+
+            def dec_body(_, xs):
+                info_cm, zl_tile = xs
+                res_cm = flow_inverse_cm(imnet, to_cm8(zl_tile), info_cm)
+                return None, res_cm
+
+            _, res_t = jax.lax.scan(dec_body, None, (info_t, zl_t))
+        else:
+            if sample:
+                keys = jax.random.split(key, n_tiles)
+
+                def body(_, xs):
+                    cy_tile, k = xs
+                    info_cm = info_cm_of(cy_tile)
+                    z_cm = jnp.pad(
+                        jax.random.normal(k, (3, q)) * temperature,
+                        ((0, 5), (0, 0)),
+                    )
+                    return None, flow_inverse_cm(imnet, z_cm, info_cm)
+
+                _, res_t = jax.lax.scan(body, None, (cy_t, keys))
+            else:
+                zeros_cm = jnp.zeros((8, q), jnp.float32)
+
+                def body(_, cy_tile):
+                    info_cm = info_cm_of(cy_tile)
+                    return None, flow_inverse_cm(imnet, zeros_cm, info_cm)
+
+                _, res_t = jax.lax.scan(body, None, cy_t)
+
+        res = res_t[:, :3].transpose(0, 2, 1).reshape(1, Hp, W, 3)[:, :H]
+        return res + grid_sample_bilinear(inp, coord, padding_mode="border")
 
     def predict(self, linf_params, prior_params, inp, coord, cell, gt_lr_up=None,
                 temperature=0.0, key=None):
