@@ -39,8 +39,13 @@ def _augment_factory(augment):
 
 def _residuals(crop_lr, crop_hr_shape):
     """lr_up ([-1,1] bilinear upsample) and the up-down-up residual
-    (wrappers.py:132-134)."""
-    lr_up = resize_bilinear_np((crop_lr - 0.5) / 0.5, crop_hr_shape[:2])
+    (wrappers.py:132-134).  Uses the native C++ kernel when built."""
+    from bfsr_tpu import native
+
+    lr_norm = (crop_lr - 0.5) / 0.5
+    if native.available():
+        return native.updownup_residual(lr_norm, crop_hr_shape[:2])
+    lr_up = resize_bilinear_np(lr_norm, crop_hr_shape[:2])
     lr_up_down = resize_bilinear_np(lr_up, crop_lr.shape[:2])
     lr_up_residual = lr_up - resize_bilinear_np(lr_up_down, crop_hr_shape[:2])
     return lr_up.astype(np.float32), lr_up_residual.astype(np.float32)
