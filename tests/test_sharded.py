@@ -1,0 +1,91 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import bfsr_tpu.models  # noqa: F401
+from bfsr_tpu import registry
+from bfsr_tpu.parallel.mesh import make_mesh, replicate
+from bfsr_tpu.pipelines.linf_eval import LINFPredictor
+from bfsr_tpu.utils.coords import make_coord_np, make_cell
+
+from test_pipelines import small_linf
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_query_sharded_predict_matches_single(rng):
+    """Sharding the HR query grid's width over 'sp' (query parallelism)
+    reproduces the single-device prediction."""
+    m = small_linf()
+    h, w, s = 6, 8, 4
+    H, W = h * s, w * s
+    inp = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32))
+    coord = jnp.asarray(make_coord_np((H, W), flatten=False)[None])
+    cell = jnp.asarray(make_cell((H, W))[None])
+
+    predictor = LINFPredictor(m, None, tile_queries=H * W, use_pallas=False)
+    ref = predictor.predict(m.params, None, inp, coord, cell)
+
+    mesh = make_mesh({"sp": 8})
+    with mesh:
+        params = replicate(m.params, mesh)
+        inp_s = jax.device_put(inp, NamedSharding(mesh, P()))
+        coord_s = jax.device_put(coord, NamedSharding(mesh, P(None, None, "sp")))
+        cell_s = jax.device_put(cell, NamedSharding(mesh, P()))
+        out = predictor.predict(params, None, inp_s, coord_s, cell_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_dp_train_step_matches_single(rng):
+    """Data-parallel sharded train step == unsharded step (same batch)."""
+    import optax
+
+    from bfsr_tpu.pipelines.linf_train import make_train_step
+    from bfsr_tpu.parallel.mesh import shard_batch, batch_specs_linf
+
+    m = small_linf()
+    prior = registry.make({"name": "unet", "args": {"in_chans": 3, "depth": 2,
+                                                    "dim": 16}})
+    vgg = registry.make({"name": "VGGFeatureExtractor", "args": {"feature_layer": 3}})
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(prior.params)
+    step = make_train_step(m, prior, vgg, optimizer, vgg_weight=1.0,
+                           latent_weight=0.5)
+
+    B, hw, s = 8, 6, 2
+    H = hw * s
+    coord = np.broadcast_to(make_coord_np((H, H), flatten=False)[None],
+                            (B, H, H, 2)).copy()
+    batch = {
+        "inp": rng.random((B, hw, hw, 3)).astype(np.float32),
+        "coord": coord,
+        "cell": np.broadcast_to(make_cell((H, H))[None], (B, 2)).copy(),
+        "gt": rng.random((B, H, H, 3)).astype(np.float32),
+        "gt_lr_up": (rng.random((B, H, H, 3)) - 0.5).astype(np.float32),
+        "gt_pixel": (rng.random((B, H, H, 3)) - 0.5).astype(np.float32),
+    }
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    p_ref, _, mets_ref = step(prior.params, opt_state, m.params, vgg.params,
+                              dev_batch)
+
+    mesh = make_mesh({"dp": 8})
+    with mesh:
+        sharded = shard_batch(batch, mesh, batch_specs_linf())
+        p_sh, _, mets_sh = step(replicate(prior.params, mesh),
+                                replicate(opt_state, mesh),
+                                replicate(m.params, mesh),
+                                replicate(vgg.params, mesh), sharded)
+    np.testing.assert_allclose(float(mets_sh["loss"]), float(mets_ref["loss"]),
+                               rtol=1e-5)
+    a = jax.tree_util.tree_leaves(p_ref)
+    b = jax.tree_util.tree_leaves(p_sh)
+    for x, y in zip(a, b):
+        # cross-device psum reduction order perturbs gradients ~1e-7, which
+        # Adam's rsqrt amplifies on near-zero second moments
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-3)
