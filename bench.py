@@ -29,7 +29,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 LR_SIZE = 128
 SCALE = 4
 WARMUP = 2
-ITERS = 8
+ITERS = 16
 
 
 def _workload(rng):
@@ -59,15 +59,21 @@ def run_tpu_bench():
     cell = jnp.asarray(make_cell((H, W))[None])
 
     def once():
-        out = predictor.predict(model.params, prior.params, inp_j, coord, cell, gt_j)
-        jax.block_until_ready(out)
-        return out
+        return predictor.predict(model.params, prior.params, inp_j, coord, cell,
+                                 gt_j)
+
+    def sync(out):
+        # force full device completion: block_until_ready can return early on
+        # tunneled platforms; a host fetch of one element cannot
+        np.asarray(out[0, 0, 0, 0])
 
     for _ in range(WARMUP):
-        once()
+        sync(once())
     t0 = time.perf_counter()
+    out = None
     for _ in range(ITERS):
-        once()
+        out = once()
+    sync(out)
     dt = (time.perf_counter() - t0) / ITERS
     mps = (H * W) / dt / 1e6
     return mps, dt

@@ -156,75 +156,49 @@ class LINFPredictor:
     def _predict_pallas(self, linf_params, prior_params, inp, coord, cell,
                         gt_lr_up, temperature, key, use_prior, sample, feat,
                         cy_t, coord_x, H, W, Hp, T, n_tiles):
-        """Channel-major tile pipeline feeding the fused Pallas flow
-        kernels: affine info emitted directly as (64, T*W) rows, z carried
-        as (8, T*W) — no layout churn around the kernels."""
-        from bfsr_tpu.models.linf import linf_affine_info_grid
+        """Fused-kernel pipeline: affine info computed ONCE by the
+        DMA-tiled Pallas kernel straight from the LR maps (no HR-resolution
+        intermediates), flow forward/inverse run channel-major."""
+        from bfsr_tpu.ops import nn as fnn
         from bfsr_tpu.ops.pallas.linf_flow import flow_forward_cm, flow_inverse_cm
+        from bfsr_tpu.ops.pallas.linf_info import fused_affine_info_cm, T_R
         from bfsr_tpu.ops.interp import grid_sample_bilinear
 
         model = self.model
         imnet = linf_params["imnet"]
-        q = T * W
+        # pad HR rows to the kernel's row-tile size
+        Hp8 = -(-H // T_R) * T_R
+        coord_y = jnp.pad(coord[0, :, 0, 0], (0, Hp8 - H), mode="edge")
+        n = Hp8 * W
 
-        def info_cm_of(cy_tile):
-            return linf_affine_info_grid(linf_params, feat, cy_tile, coord_x,
-                                         cell, model.hidden_dim,
-                                         channel_major_rows=64)
+        coef = fnn.conv2d(feat, linf_params["coef"])
+        freq = fnn.conv2d(feat, linf_params["freq"])
+        info_cm = fused_affine_info_cm(linf_params, coef, freq, coord_y,
+                                       coord[0, 0, :, 1], cell,
+                                       model.hidden_dim)  # (64, n)
 
-        def to_cm8(img_rows):  # (1, T, W, 3) -> (8, q)
-            x = img_rows.reshape(q, 3).T
+        def to_cm8(img):  # (1, Hp8, W, 3) -> (8, n)
+            x = img.reshape(n, 3).T
             return jnp.pad(x, ((0, 5), (0, 0)))
 
         if use_prior:
-            gt_p = jnp.pad(gt_lr_up, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
-            gt_t = gt_p.reshape(1, n_tiles, T, W, 3).transpose(1, 0, 2, 3, 4)
-
-            def enc_body(_, xs):
-                cy_tile, g_tile = xs
-                info_cm = info_cm_of(cy_tile)
-                z_cm = flow_forward_cm(imnet, to_cm8(g_tile), info_cm)
-                return None, (info_cm, z_cm)
-
-            _, (info_t, z_t) = jax.lax.scan(enc_body, None, (cy_t, gt_t))
-            # (nt, 8, q) -> (1, Hp, W, 3)
-            z_map = z_t[:, :3].transpose(0, 2, 1).reshape(1, Hp, W, 3)[:, :H]
+            gt_p = jnp.pad(gt_lr_up, ((0, 0), (0, Hp8 - H), (0, 0), (0, 0)))
+            z_cm = flow_forward_cm(imnet, to_cm8(gt_p), info_cm)
+            z_map = z_cm[:3].T.reshape(1, Hp8, W, 3)[:, :H]
             z_learned = self.prior.apply(prior_params, z_map, inp)
             if z_learned.shape[1:3] != z_map.shape[1:3]:
                 z_learned = resize_bilinear(z_learned, z_map.shape[1:3])
-            zl_p = jnp.pad(z_learned, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
-            zl_t = zl_p.reshape(1, n_tiles, T, W, 3).transpose(1, 0, 2, 3, 4)
-
-            def dec_body(_, xs):
-                info_cm, zl_tile = xs
-                res_cm = flow_inverse_cm(imnet, to_cm8(zl_tile), info_cm)
-                return None, res_cm
-
-            _, res_t = jax.lax.scan(dec_body, None, (info_t, zl_t))
+            zl_p = jnp.pad(z_learned, ((0, 0), (0, Hp8 - H), (0, 0), (0, 0)))
+            res_cm = flow_inverse_cm(imnet, to_cm8(zl_p), info_cm)
+        elif sample:
+            z_cm = jnp.pad(jax.random.normal(key, (3, n)) * temperature,
+                           ((0, 5), (0, 0)))
+            res_cm = flow_inverse_cm(imnet, z_cm, info_cm)
         else:
-            if sample:
-                keys = jax.random.split(key, n_tiles)
+            res_cm = flow_inverse_cm(imnet, jnp.zeros((8, n), jnp.float32),
+                                     info_cm)
 
-                def body(_, xs):
-                    cy_tile, k = xs
-                    info_cm = info_cm_of(cy_tile)
-                    z_cm = jnp.pad(
-                        jax.random.normal(k, (3, q)) * temperature,
-                        ((0, 5), (0, 0)),
-                    )
-                    return None, flow_inverse_cm(imnet, z_cm, info_cm)
-
-                _, res_t = jax.lax.scan(body, None, (cy_t, keys))
-            else:
-                zeros_cm = jnp.zeros((8, q), jnp.float32)
-
-                def body(_, cy_tile):
-                    info_cm = info_cm_of(cy_tile)
-                    return None, flow_inverse_cm(imnet, zeros_cm, info_cm)
-
-                _, res_t = jax.lax.scan(body, None, cy_t)
-
-        res = res_t[:, :3].transpose(0, 2, 1).reshape(1, Hp, W, 3)[:, :H]
+        res = res_cm[:3].T.reshape(1, Hp8, W, 3)[:, :H]
         return res + grid_sample_bilinear(inp, coord, padding_mode="border")
 
     def predict(self, linf_params, prior_params, inp, coord, cell, gt_lr_up=None,
