@@ -214,9 +214,10 @@ class LINFPredictor:
 
 
 def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
-              eval_bsize=None, scale_max=4, verbose=False, detail=False,
-              randomness=False, temperature=0.0, patch=False, tile_queries=65536,
-              lpips_model=None, log_fn=print, limit=None):
+              eval_bsize=None, window_size=0, scale_max=4, verbose=False,
+              detail=False, randomness=False, temperature=0.0, patch=False,
+              tile_queries=65536, lpips_model=None, log_fn=print, limit=None,
+              sample=0, save_path=None):
     """Mirror of LINF-LP/test.py:50-236 on the jitted predictor.
 
     Batches come from bfsr_tpu.data.DataLoader (HWC numpy).  batch_size must
@@ -249,11 +250,29 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
         if limit is not None and idx >= limit:
             break
         inp = (batch["inp"] - inp_sub) / inp_div
-        inp_j = jnp.asarray(inp)
-        coord = jnp.asarray(batch["coord"])
-        cell = jnp.asarray(batch["cell"])
         gt = batch["gt"]  # (1,H,W,3) raw [0,1]
+        if window_size != 0:
+            # SwinIR protocol: reflect-pad LR to a window multiple and query
+            # the padded HR grid; pred is cropped to gt below
+            # (reference test.py:99-107)
+            h_old, w_old = inp.shape[1], inp.shape[2]
+            h_pad = (h_old // window_size + 1) * window_size - h_old
+            w_pad = (w_old // window_size + 1) * window_size - w_old
+            inp = np.concatenate([inp, inp[:, ::-1]], axis=1)[:, : h_old + h_pad]
+            inp = np.concatenate([inp, inp[:, :, ::-1]], axis=2)[:, :, : w_old + w_pad]
+            coord = jnp.asarray(make_coord_np(
+                (scale * (h_old + h_pad), scale * (w_old + w_pad)),
+                flatten=False)[None])
+        else:
+            coord = jnp.asarray(batch["coord"])
+        inp_j = jnp.asarray(inp)
+        cell = jnp.asarray(batch["cell"])
         gt_lr_up = jnp.asarray(batch["gt_lr_up"]) if "gt_lr_up" in batch else None
+        if gt_lr_up is not None and gt_lr_up.shape[1:3] != coord.shape[1:3]:
+            # window padding enlarged the query grid; zero-pad the residual
+            dh = coord.shape[1] - gt_lr_up.shape[1]
+            dw = coord.shape[2] - gt_lr_up.shape[2]
+            gt_lr_up = jnp.pad(gt_lr_up, ((0, 0), (0, dh), (0, dw), (0, 0)))
 
         preds = []
         for s in range(n_samples):
@@ -272,6 +291,15 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
             preds.append(pred)
 
         denorm = [np.clip(p * gt_div + gt_sub, 0, 1) for p in preds]
+
+        if idx < sample and save_path:
+            from PIL import Image
+            import os
+
+            os.makedirs(save_path, exist_ok=True)
+            img = np.round(denorm[0][0] * 255.0).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(save_path, f"{800 + idx + 1}x{scale}.png"))
 
         # PSNR (averaged over samples when randomness)
         ps = [psnr_fn(np.transpose(p, (0, 3, 1, 2)), np.transpose(gt, (0, 3, 1, 2)))

@@ -62,12 +62,20 @@ def main():
     dataset = registry.make(spec["wrapper"], args={"dataset": dataset})
     loader = DataLoader(dataset, batch_size=spec["batch_size"], num_workers=8)
 
+    if args.name is None:
+        save_path = "./sample"
+    elif args.name_sub is not None:
+        save_path = os.path.join("./sample", args.name, args.name_sub)
+    else:
+        save_path = os.path.join("./sample", args.name)
+
     res = eval_psnr(
         loader, model,
         prior_model=prior_model,
         data_norm=config.get("data_norm"),
         eval_type=config.get("eval_type"),
         eval_bsize=config.get("eval_bsize"),
+        window_size=int(args.window),
         scale_max=int(args.scale_max),
         verbose=True,
         detail=args.detail,
@@ -76,6 +84,8 @@ def main():
         patch=args.patch,
         tile_queries=args.tile_queries,
         limit=args.limit,
+        sample=args.sample,
+        save_path=save_path,
     )
     if args.detail:
         for key, val in res.items():
