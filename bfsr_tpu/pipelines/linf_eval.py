@@ -242,6 +242,10 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
     else:
         raise NotImplementedError(eval_type)
 
+    if eval_bsize:
+        # reference semantics: max queries per flow call
+        # (configs eval_bsize: 300000); bounded by our memory-safe default
+        tile_queries = min(tile_queries, int(eval_bsize))
     predictor = LINFPredictor(model, prior_model, tile_queries=tile_queries)
     val_psnr, val_ssim, val_lpips, val_lr, val_div = (Averager() for _ in range(5))
 
