@@ -49,6 +49,38 @@ class SRFlowLPPredictor:
         return sr[: h * s, : w * s]
 
 
+def validate(model, batches, heats=(0.0, 0.5, 0.75, 1.0), n_sample=3, seed=0,
+             limit=None):
+    """Validation mirror of SRFlowModel.test() (SRFlow_model.py:178-189):
+    sample SR at each heat x n_sample and compute the mean NLL of GT.
+
+    batches: iterable of {'GT': (1,H,W,3), 'LQ': (1,h,w,3)} numpy dicts.
+    Returns (mean_nll, samples dict {(heat, i): np image} for the last
+    batch).
+    """
+    import jax
+
+    nlls = []
+    samples = {}
+    for bi, batch in enumerate(batches):
+        if limit is not None and bi >= limit:
+            break
+        lq = jnp.asarray(batch["LQ"], jnp.float32)
+        gt = jnp.asarray(batch["GT"], jnp.float32)
+        key = jax.random.PRNGKey(seed + bi)
+        for heat in heats:
+            for i in range(n_sample):
+                key, sub = jax.random.split(key)
+                z = model.sample_z(sub, heat, lq.shape[0], lq.shape[1:3])
+                sr = model.get_sr(model.params, lq, heat=heat, z=z, key=sub)
+                samples[(heat, i)] = np.asarray(jnp.clip(sr, 0, 1))[0]
+        key, sub = jax.random.split(key)
+        _, nll, _ = model.normal_flow(model.params, gt, lq, key=sub,
+                                      add_gt_noise=True)
+        nlls.append(float(jnp.mean(nll)))
+    return float(np.mean(nlls)), samples
+
+
 def sample_sr(model, lr_img01, heat=0.0, seed=0):
     """Plain SRFlow sampling at temperature `heat` (SRFlow_model.get_sr)."""
     h, w = lr_img01.shape[:2]
