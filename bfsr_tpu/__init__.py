@@ -25,6 +25,31 @@ reference's ``models.make(spec)`` factory semantics
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (first compiles of the big fused
+    programs take minutes; reruns should not).  Disable with
+    BFSR_NO_COMPILE_CACHE=1 or point elsewhere with JAX_COMPILATION_CACHE_DIR."""
+    if _os.environ.get("BFSR_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "bfsr_jax"),
+        )
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from bfsr_tpu import registry
 from bfsr_tpu.registry import register, make, lookup
 
