@@ -161,12 +161,16 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     rel_cell = cell * jnp.asarray([h, w], cell.dtype)
     phase = fnn.linear(rel_cell, params["phase"])[0]  # (C/2,)
 
-    # channel-major LR maps; pad rows so every R_MAX DMA window is valid
+    # channel-major LR maps; pad rows so every R_MAX DMA window is valid and
+    # the width to a 128-lane multiple (Mosaic DMA slice alignment)
+    w128 = -(-w // 128) * 128
     coef_cm = coef[0].transpose(0, 2, 1)  # (h, C, w)
     freq_cm = freq[0].transpose(0, 2, 1)
-    if h < R_MAX:
-        coef_cm = jnp.pad(coef_cm, ((0, R_MAX - h), (0, 0), (0, 0)))
-        freq_cm = jnp.pad(freq_cm, ((0, R_MAX - h), (0, 0), (0, 0)))
+    pad_h_rows = max(R_MAX - h, 0)
+    coef_cm = jnp.pad(coef_cm, ((0, pad_h_rows), (0, 0), (0, w128 - w)))
+    freq_cm = jnp.pad(freq_cm, ((0, pad_h_rows), (0, 0), (0, w128 - w)))
+    pxm = jnp.pad(pxm, ((0, w128 - w), (0, 0)))
+    pxp = jnp.pad(pxp, ((0, w128 - w), (0, 0)))
 
     mlp = params["mlp"]
     n_hidden = len(mlp) - 2
@@ -202,8 +206,8 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
         out_specs=pl.BlockSpec((64, T_R * W), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R_MAX, C, w), jnp.float32),
-            pltpu.VMEM((R_MAX, C, w), jnp.float32),
+            pltpu.VMEM((R_MAX, C, w128), jnp.float32),
+            pltpu.VMEM((R_MAX, C, w128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -166,30 +166,32 @@ class LINFPredictor:
 
         model = self.model
         imnet = linf_params["imnet"]
-        # pad HR rows to the kernel's row-tile size
+        # pad HR rows to the kernel row-tile size and cols to a multiple of
+        # 16 (the (64, T_R*W) output blocks must be lane-aligned)
         Hp8 = -(-H // T_R) * T_R
+        Wp = -(-W // 16) * 16
         coord_y = jnp.pad(coord[0, :, 0, 0], (0, Hp8 - H), mode="edge")
-        n = Hp8 * W
+        coord_x = jnp.pad(coord[0, 0, :, 1], (0, Wp - W), mode="edge")
+        n = Hp8 * Wp
 
         coef = fnn.conv2d(feat, linf_params["coef"])
         freq = fnn.conv2d(feat, linf_params["freq"])
         info_cm = fused_affine_info_cm(linf_params, coef, freq, coord_y,
-                                       coord[0, 0, :, 1], cell,
-                                       model.hidden_dim)  # (64, n)
+                                       coord_x, cell, model.hidden_dim)  # (64, n)
 
-        def to_cm8(img):  # (1, Hp8, W, 3) -> (8, n)
+        def to_cm8(img):  # (1, H*, W*, 3) -> (8, n) with H/W padding
+            img = jnp.pad(img, ((0, 0), (0, Hp8 - img.shape[1]),
+                                (0, Wp - img.shape[2]), (0, 0)))
             x = img.reshape(n, 3).T
             return jnp.pad(x, ((0, 5), (0, 0)))
 
         if use_prior:
-            gt_p = jnp.pad(gt_lr_up, ((0, 0), (0, Hp8 - H), (0, 0), (0, 0)))
-            z_cm = flow_forward_cm(imnet, to_cm8(gt_p), info_cm)
-            z_map = z_cm[:3].T.reshape(1, Hp8, W, 3)[:, :H]
+            z_cm = flow_forward_cm(imnet, to_cm8(gt_lr_up), info_cm)
+            z_map = z_cm[:3].T.reshape(1, Hp8, Wp, 3)[:, :H, :W]
             z_learned = self.prior.apply(prior_params, z_map, inp)
             if z_learned.shape[1:3] != z_map.shape[1:3]:
                 z_learned = resize_bilinear(z_learned, z_map.shape[1:3])
-            zl_p = jnp.pad(z_learned, ((0, 0), (0, Hp8 - H), (0, 0), (0, 0)))
-            res_cm = flow_inverse_cm(imnet, to_cm8(zl_p), info_cm)
+            res_cm = flow_inverse_cm(imnet, to_cm8(z_learned), info_cm)
         elif sample:
             z_cm = jnp.pad(jax.random.normal(key, (3, n)) * temperature,
                            ((0, 5), (0, 0)))
@@ -198,7 +200,7 @@ class LINFPredictor:
             res_cm = flow_inverse_cm(imnet, jnp.zeros((8, n), jnp.float32),
                                      info_cm)
 
-        res = res_cm[:3].T.reshape(1, Hp8, W, 3)[:, :H]
+        res = res_cm[:3].T.reshape(1, Hp8, Wp, 3)[:, :H, :W]
         return res + grid_sample_bilinear(inp, coord, padding_mode="border")
 
     def predict(self, linf_params, prior_params, inp, coord, cell, gt_lr_up=None,
