@@ -8,7 +8,6 @@ produce RGB.
 """
 
 import jax
-import jax.numpy as jnp
 
 from bfsr_tpu.models.base import Model
 from bfsr_tpu.ops import nn as fnn

@@ -8,7 +8,6 @@ registry is shared across both stacks.
 """
 
 import jax
-import jax.numpy as jnp
 
 from bfsr_tpu.models.base import Model
 from bfsr_tpu.models.unet import (

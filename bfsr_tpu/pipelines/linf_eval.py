@@ -16,7 +16,6 @@ TPU-first redesign of the reference eval path (LINF-LP/test.py):
 Metrics run host-side in float64 per the reference protocol.
 """
 
-import math
 from functools import partial
 
 import jax
@@ -25,20 +24,9 @@ import numpy as np
 
 from bfsr_tpu.ops.interp import resize_bilinear
 from bfsr_tpu.utils import metrics as M
-from bfsr_tpu.utils.coords import make_coord_np, make_cell
+from bfsr_tpu.utils.coords import make_coord_np
 from bfsr_tpu.utils.misc import Averager
 from bfsr_tpu.ops.imresize import imresize
-
-
-def _pad_tiles(x, q, axis=1):
-    """Pad axis to a multiple of q and reshape into (tiles, q)."""
-    n = x.shape[axis]
-    n_pad = (q - n % q) % q
-    pad_width = [(0, 0)] * x.ndim
-    pad_width[axis] = (0, n_pad)
-    x = jnp.pad(x, pad_width, mode="edge")
-    new_shape = x.shape[:axis] + (x.shape[axis] // q, q) + x.shape[axis + 1:]
-    return x.reshape(new_shape)
 
 
 class LINFPredictor:

@@ -11,8 +11,6 @@ The reference backs through ``torch.linalg.solve`` chains per step
 plain matmul chain.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
