@@ -207,7 +207,7 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
               eval_bsize=None, window_size=0, scale_max=4, verbose=False,
               detail=False, randomness=False, temperature=0.0, patch=False,
               tile_queries=65536, lpips_model=None, log_fn=print, limit=None,
-              sample=0, save_path=None):
+              sample=0, save_path=None, pad_multiple=0):
     """Mirror of LINF-LP/test.py:50-236 on the jitted predictor.
 
     Batches come from bfsr_tpu.data.DataLoader (HWC numpy).  batch_size must
@@ -245,6 +245,12 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
             break
         inp = (batch["inp"] - inp_sub) / inp_div
         gt = batch["gt"]  # (1,H,W,3) raw [0,1]
+        if window_size == 0 and pad_multiple:
+            # compile-cache bucketing: reflect-pad LR to a shape bucket
+            # (same mechanics as the SwinIR window protocol); pred is
+            # cropped back to gt below, so metrics are unaffected apart
+            # from border receptive-field effects
+            window_size = pad_multiple
         if window_size != 0:
             # SwinIR protocol: reflect-pad LR to a window multiple and query
             # the padded HR grid; pred is cropped to gt below

@@ -68,15 +68,20 @@ def validate(model, batches, heats=(0.0, 0.5, 0.75, 1.0), n_sample=3, seed=0,
         lq = jnp.asarray(batch["LQ"], jnp.float32)
         gt = jnp.asarray(batch["GT"], jnp.float32)
         key = jax.random.PRNGKey(seed + bi)
+        # RRDB conditioning computed once per batch, shared across all
+        # heats/samples and the NLL pass (the reference recomputes it per
+        # reverse call, SRFlow_model.py:178-189)
+        lr_enc = model.preprocess(model.params, lq)
         for heat in heats:
             for i in range(n_sample):
                 key, sub = jax.random.split(key)
                 z = model.sample_z(sub, heat, lq.shape[0], lq.shape[1:3])
-                sr = model.get_sr(model.params, lq, heat=heat, z=z, key=sub)
+                sr, _ = model.reverse_flow(model.params, lq, z=z, eps_std=heat,
+                                           key=sub, lr_enc=lr_enc)
                 samples[(heat, i)] = np.asarray(jnp.clip(sr, 0, 1))[0]
         key, sub = jax.random.split(key)
         _, nll, _ = model.normal_flow(model.params, gt, lq, key=sub,
-                                      add_gt_noise=True)
+                                      add_gt_noise=True, lr_enc=lr_enc)
         nlls.append(float(jnp.mean(nll)))
     return float(np.mean(nlls)), samples
 

@@ -42,6 +42,9 @@ def main():
     parser.add_argument("--limit", type=int, default=None,
                         help="evaluate only the first N images")
     parser.add_argument("--tile_queries", type=int, default=65536)
+    parser.add_argument("--pad_multiple", type=int, default=0,
+                        help="reflect-pad LR to this multiple to bound jit "
+                             "recompiles across image shapes")
     args = parser.parse_args()
 
     with open(args.config) as f:
@@ -86,6 +89,7 @@ def main():
         limit=args.limit,
         sample=args.sample,
         save_path=save_path,
+        pad_multiple=args.pad_multiple,
     )
     if args.detail:
         for key, val in res.items():
