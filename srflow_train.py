@@ -56,9 +56,22 @@ def main():
                         num_workers=dtrain.get("n_workers", 3), drop_last=True)
 
     model = build_srflow_from_conf(opt)
+
+    # auto-resume from the newest checkpoint (path.resume_state: auto,
+    # reference utils/util.py:152-164)
+    start_iter = 0
+    resume_state = (opt.get("path") or {}).get("resume_state")
+    if resume_state == "auto":
+        newest = ckpt.find_auto_resume(save_path)
+        if newest:
+            sv = ckpt.load_checkpoint(newest)
+            model.load_params(sv["params"])
+            start_iter = int(sv.get("iter", 0))
+            log(f"auto-resumed from {newest} at iter {start_iter}")
+
     # RRDB init from pretrained (path.pretrain_model_G), like load_submodule
     pre = (opt.get("path") or {}).get("pretrain_model_G")
-    if pre and os.path.exists(pre):
+    if start_iter == 0 and pre and os.path.exists(pre):
         from bfsr_tpu.convert.torch_import import load_torch_checkpoint, convert_rrdb
 
         sd = load_torch_checkpoint(pre)
@@ -88,7 +101,7 @@ def main():
                                   rrdb_unfreeze_step=unfreeze)
 
     params = model.params
-    it = 0
+    it = start_iter
     key = jax.random.PRNGKey(train_opt.get("manual_seed", 0))
     print_freq = (opt.get("logger") or {}).get("print_freq", 100)
     save_freq = int((opt.get("logger") or {}).get("save_checkpoint_freq", 1000))

@@ -1,0 +1,59 @@
+"""srflow_train.py CLI smoke: tiny pkl dataset, 3 iterations, checkpoint +
+auto-resume."""
+
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture()
+def tiny_conf(tmp_path):
+    rng = np.random.default_rng(0)
+    hrs = [(rng.random((32, 32, 3)) * 255).astype(np.uint8) for _ in range(6)]
+    lqs = [(rng.random((8, 8, 3)) * 255).astype(np.uint8) for _ in range(6)]
+    gt_p = str(tmp_path / "gt.pklv4")
+    lq_p = str(tmp_path / "lq.pklv4")
+    with open(gt_p, "wb") as f:
+        pickle.dump(hrs, f)
+    with open(lq_p, "wb") as f:
+        pickle.dump(lqs, f)
+    conf = {
+        "name": "srflow_smoke",
+        "scale": 4,
+        "datasets": {"train": {"mode": "LRHR_PKL", "dataroot_GT": gt_p,
+                               "dataroot_LQ": lq_p, "quant": 32,
+                               "batch_size": 2, "use_flip": True,
+                               "n_workers": 1}},
+        "network_G": {"in_nc": 3, "out_nc": 3, "nf": 8, "nb": 2,
+                      "train_RRDB_delay": 0.5,
+                      "flow": {"K": 2, "L": 3, "hidden_channels": 8,
+                               "additionalFlowNoAffine": 2,
+                               "split": {"enable": True}, "fea_up0": True,
+                               "stackRRDB": {"blocks": [0, 1], "concat": True}}},
+        "path": {"resume_state": "auto"},
+        "train": {"manual_seed": 0, "lr_G": 1e-4, "beta1": 0.9, "beta2": 0.99,
+                  "lr_scheme": "MultiStepLR", "lr_steps_rel": [0.5],
+                  "lr_gamma": 0.5, "niter": 3, "weight_fl": 1.0},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 2},
+    }
+    conf_path = str(tmp_path / "conf.yml")
+    with open(conf_path, "w") as f:
+        yaml.dump(conf, f)
+    return conf_path
+
+
+def test_srflow_train_cli(tiny_conf, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import srflow_train
+
+    monkeypatch.setattr(sys, "argv", ["srflow_train.py", tiny_conf])
+    srflow_train.main()
+    assert os.path.exists(os.path.join("save", "srflow_smoke", "G_latest.ckpt"))
+    # resume picks up the newest checkpoint
+    monkeypatch.setattr(sys, "argv", ["srflow_train.py", tiny_conf, "--niter", "4"])
+    srflow_train.main()
