@@ -1,0 +1,51 @@
+"""Plain (non-flow) SR model training — the reference's SRModel path
+(SRFlow-LP/code/models/SR_model.py, F13): an upsampling encoder (RRDB/EDSR
+with tails) trained with CharbonnierLoss, plus the x8 self-ensemble eval."""
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bfsr_tpu.pipelines.losses import charbonnier_loss
+
+
+def make_sr_train_step(model, optimizer):
+    """step(params, opt_state, batch) for batch {'LQ','GT'} (B,h,w,3)/(B,H,W,3)."""
+
+    def loss_fn(params, batch):
+        sr = model.apply(params, batch["LQ"])
+        return charbonnier_loss(sr, batch["GT"]) / sr.size
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss}
+
+    return step
+
+
+def test_x8(model, params, lq):
+    """Geometric self-ensemble (SR_model.py test_x8): average the model over
+    the 8 flip/transpose symmetries."""
+    def tf(x, op):
+        if op == "v":
+            return x[:, :, ::-1]
+        if op == "h":
+            return x[:, ::-1]
+        if op == "t":
+            return x.transpose(0, 2, 1, 3)
+        return x
+
+    outs = []
+    for ops in ([], ["v"], ["h"], ["t"], ["v", "h"], ["v", "t"], ["h", "t"],
+                ["v", "h", "t"]):
+        x = lq
+        for op in ops:
+            x = tf(x, op)
+        y = model.apply(params, x)
+        for op in reversed(ops):
+            y = tf(y, op)
+        outs.append(y)
+    return sum(outs) / len(outs)

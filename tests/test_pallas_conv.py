@@ -1,0 +1,39 @@
+"""Pallas conv3x3 vs lax.conv (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bfsr_tpu.ops import nn as fnn
+from bfsr_tpu.ops.pallas.conv3x3 import conv3x3_fused, fold_bn
+
+
+def test_conv3x3_matches_xla(rng):
+    x = jnp.asarray(rng.random((1, 16, 12, 8)).astype(np.float32))
+    w = jnp.asarray((rng.random((3, 3, 8, 16)) - 0.5).astype(np.float32))
+    ref = fnn.conv2d(x, {"w": w})
+    out = conv3x3_fused(x, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_conv3x3_fused_bn_lrelu(rng):
+    x = jnp.asarray(rng.random((1, 8, 8, 4)).astype(np.float32))
+    w = jnp.asarray((rng.random((3, 3, 4, 8)) - 0.5).astype(np.float32))
+    bn = {"scale": jnp.asarray(rng.random(8).astype(np.float32) + 0.5),
+          "bias": jnp.asarray(rng.random(8).astype(np.float32)),
+          "mean": jnp.asarray(rng.random(8).astype(np.float32)),
+          "var": jnp.asarray(rng.random(8).astype(np.float32) + 0.5)}
+    ref = fnn.batch_norm(fnn.conv2d(x, {"w": w}), bn)
+    ref = fnn.leaky_relu(ref)
+    s, b = fold_bn({"w": w}, bn)
+    out = conv3x3_fused(x, w, scale=s, bias=b, act="lrelu", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_conv3x3_with_conv_bias(rng):
+    x = jnp.asarray(rng.random((1, 10, 6, 3)).astype(np.float32))
+    w = jnp.asarray((rng.random((3, 3, 3, 4)) - 0.5).astype(np.float32))
+    b = jnp.asarray(rng.random(4).astype(np.float32))
+    ref = fnn.conv2d(x, {"w": w, "b": b})
+    out = conv3x3_fused(x, w, bias=b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
