@@ -6,7 +6,8 @@ import optax
 
 import bfsr_tpu.models  # noqa: F401
 from bfsr_tpu import registry
-from bfsr_tpu.pipelines.sr_train import make_sr_train_step, test_x8
+from bfsr_tpu.pipelines.sr_train import make_sr_train_step
+from bfsr_tpu.pipelines.sr_train import test_x8 as x8_ensemble
 
 
 def test_sr_train_step(rng):
@@ -28,6 +29,6 @@ def test_x8_ensemble_shapes(rng):
                        "args": {"n_resblocks": 1, "n_feats": 8, "scale": 2,
                                 "no_upsampling": False}})
     lq = jnp.asarray(rng.random((1, 6, 6, 3)).astype(np.float32))
-    out = test_x8(m, m.params, lq)
+    out = x8_ensemble(m, m.params, lq)
     assert out.shape == (1, 12, 12, 3)
     assert np.isfinite(np.asarray(out)).all()
