@@ -64,11 +64,11 @@ class DataLoader:
                         return
                 try:
                     samples = [self.dataset[int(i)] for i in batch_idx]
-                    item = (bi, self.collate_fn(samples))
+                    result = self.collate_fn(samples)
                 except Exception as e:  # propagate to consumer
-                    item = (bi, e)
+                    result = e
                 with results_lock:
-                    results[bi] = item[1]
+                    results[bi] = result
                 q.put(bi)
 
         threads = [threading.Thread(target=worker, daemon=True)

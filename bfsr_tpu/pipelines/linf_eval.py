@@ -245,19 +245,17 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
             break
         inp = (batch["inp"] - inp_sub) / inp_div
         gt = batch["gt"]  # (1,H,W,3) raw [0,1]
-        if window_size == 0 and pad_multiple:
-            # compile-cache bucketing: reflect-pad LR to a shape bucket
-            # (same mechanics as the SwinIR window protocol); pred is
-            # cropped back to gt below, so metrics are unaffected apart
-            # from border receptive-field effects
-            window_size = pad_multiple
-        if window_size != 0:
+        # pad_multiple reuses the SwinIR window mechanics as compile-cache
+        # bucketing: reflect-pad LR to a shape bucket; pred is cropped back
+        # to gt below, so metrics differ only by border receptive fields
+        eff_window = window_size or pad_multiple
+        if eff_window != 0:
             # SwinIR protocol: reflect-pad LR to a window multiple and query
             # the padded HR grid; pred is cropped to gt below
             # (reference test.py:99-107)
             h_old, w_old = inp.shape[1], inp.shape[2]
-            h_pad = (h_old // window_size + 1) * window_size - h_old
-            w_pad = (w_old // window_size + 1) * window_size - w_old
+            h_pad = (h_old // eff_window + 1) * eff_window - h_old
+            w_pad = (w_old // eff_window + 1) * eff_window - w_old
             inp = np.concatenate([inp, inp[:, ::-1]], axis=1)[:, : h_old + h_pad]
             inp = np.concatenate([inp, inp[:, :, ::-1]], axis=2)[:, :, : w_old + w_pad]
             coord = jnp.asarray(make_coord_np(

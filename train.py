@@ -70,11 +70,16 @@ def main(config, save_path, patch=False):
 
     # prior + optimizer (+resume)
     epoch_start = 1
+    resumed_opt_state = None
     resume_prior = config.get("resume_prior_model")
     if resume_prior and os.path.exists(resume_prior):
-        prior_model = load_prior_model(resume_prior)
-        sv = ckpt.load_checkpoint(resume_prior) if not resume_prior.endswith(".pth") else {}
-        epoch_start = int(sv.get("epoch", 0)) + 1
+        if resume_prior.endswith(".pth"):
+            prior_model = load_prior_model(resume_prior)
+        else:
+            sv = ckpt.load_checkpoint(resume_prior)
+            prior_model = registry.make(sv["prior_model"], load_params=True)
+            resumed_opt_state = (sv.get("optimizer") or {}).get("state")
+            epoch_start = int(sv.get("epoch", 0)) + 1
         utils.log(f"resume training from epoch {epoch_start}")
     else:
         prior_model = registry.make(config["prior_model"])
@@ -86,7 +91,8 @@ def main(config, save_path, patch=False):
     schedule = (multi_step_lr(base_lr, [m * iters_per_epoch for m in mslr["milestones"]],
                               mslr.get("gamma", 0.5)) if mslr else None)
     optimizer = make_optimizer(config["optimizer"], schedule)
-    opt_state = optimizer.init(prior_model.params)
+    opt_state = (resumed_opt_state if resumed_opt_state is not None
+                 else optimizer.init(prior_model.params))
 
     # VGG for the perceptual loss
     vgg_weight = config["loss_weight"]["vgg"]
