@@ -328,7 +328,8 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
 
     if detail:
         out = {"psnr": val_psnr.item(), "ssim": val_ssim.item(),
-               "lpips": val_lpips.item(), "LR recon": val_lr.item()}
+               "lpips": val_lpips.item() if lpips_model is not None else float("nan"),
+               "LR recon": val_lr.item()}
         if randomness:
             out["diversity"] = val_div.item()
         return out

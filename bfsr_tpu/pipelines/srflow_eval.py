@@ -55,8 +55,9 @@ def validate(model, batches, heats=(0.0, 0.5, 0.75, 1.0), n_sample=3, seed=0,
     sample SR at each heat x n_sample and compute the mean NLL of GT.
 
     batches: iterable of {'GT': (1,H,W,3), 'LQ': (1,h,w,3)} numpy dicts.
-    Returns (mean_nll, samples dict {(heat, i): np image} for the last
-    batch).
+    GT spatial dims must be divisible by 2^L (the flow squeezes; training
+    crops are 160 = 8*20).  Returns (mean_nll, samples dict
+    {(heat, i): np image} for the last batch).
     """
     import jax
 
