@@ -79,7 +79,9 @@ class LINFPredictor:
             return linf_affine_info_grid(linf_params, feat, cy_tile, coord_x,
                                          cell, model.hidden_dim)
 
-        if self.use_pallas and B == 1 and d == 3:
+        # the fused info kernel's per-row working set scales with W; fall
+        # back to the XLA path beyond its VMEM budget (wide DIV2K images)
+        if self.use_pallas and B == 1 and d == 3 and W <= 1024:
             return self._predict_pallas(linf_params, prior_params, inp, coord,
                                         cell, gt_lr_up, temperature, key,
                                         use_prior, sample, feat, cy_t, coord_x,
