@@ -5,28 +5,19 @@ trig basis, and the 1024-channel feature tensor (~GBs of HBM traffic per
 image).  This kernel produces the per-query affine parameters straight
 from the LR-resolution coef/freq maps:
 
-* the LR maps live in HBM (channel-major (h, C, w)); each row-tile DMAs
-  just the LR row range it needs (<= R_MAX rows) into VMEM,
-* the 4-corner column expansion is an MXU matmul against one-hot
-  column-selection matrices (w x W),
-* Fourier basis (cos/sin), area weighting, and the 4-layer MLP all run in
-  VMEM per tile; only the final (64, N) channel-major info leaves the chip.
+* the LR maps live in HBM (channel-major (h, C, w)); each (row, col) tile
+  DMAs just the LR row/col window it needs into VMEM,
+* the 4-corner column expansion is an MXU matmul against per-tile one-hot
+  column-selection matrices,
+* Fourier basis (cos/sin), area weighting, and the MLP all run in VMEM per
+  tile; only the final (64, H, W) channel-major info leaves the chip.
 
-Layout contracts (all f32):
-  coef_cm, freq_cm : (h, C, w)        C = hidden_dim (256)
-  P_xm, P_xp       : (w, W)           one-hot column selectors
-  rel_x_m/p        : (1, W)
-  phase_col        : (C/2, 1)
-  w1t              : (4, C, C)        first-layer weight, per-shift slices,
-                                      transposed (out, in)
-  w2t, w3t         : (C, C)
-  w4t              : (64, C)          zero-padded beyond the true out dim
-  b1, b2, b3       : (C, 1);  b4: (64, 1)
-  scalar prefetch  : row_start (n_tiles,), iy_m, iy_p (H,) int32,
-                     rel_y_m, rel_y_p (H,) f32
-  output           : info_cm (64, H*W), H a multiple of T_R
+Tiling: T_R=8 HR rows x WT=128 HR cols per grid step; the DMA window is
+R_MAX=12 LR rows x CW=384 LR cols (covers any upscale factor >= 1 plus the
+128-alignment rounding of the column base) — VMEM-bounded regardless of
+image size.
 
-Feed the output directly to ``linf_flow.flow_forward_cm`` /
+Feed the output (reshaped (64, H*W)) to ``linf_flow.flow_forward_cm`` /
 ``flow_inverse_cm``.
 """
 
@@ -39,24 +30,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 T_R = 8       # HR rows per tile
-R_MAX = 16    # max LR rows a tile can touch (scale >= ~0.8)
+WT = 128      # HR col-tile quantum (predictor pads W to a multiple of this)
+# (wt, cw, r_max, min_scale) tile configs: bigger tiles when W allows —
+# fewer DMA re-reads and larger matmuls; cw covers wt/s + 2 + <=127 base
+# rounding, r_max covers ceil(T_R/s) + 2
+_CONFIGS = ((256, 512, 8, 1.5), (128, 384, 12, 0.8))
 
 
-def _kernel(hidden, W, n_hidden,
-            row_start_ref, iy_m_ref, iy_p_ref, rel_y_m_ref, rel_y_p_ref,
+def _kernel(hidden, n_hidden, cw, r_max,
+            row_start_ref, col_base_ref, iy_m_ref, iy_p_ref,
+            rel_y_m_ref, rel_y_p_ref,
             coef_ref, freq_ref, pxm_ref, pxp_ref, relxm_ref, relxp_ref,
             phase_ref, w1t_ref, wht_ref, w4t_ref,
             b1_ref, bh_ref, b4_ref,
             out_ref, coef_buf, freq_buf, sems):
     t = pl.program_id(0)
+    c = pl.program_id(1)
     C = hidden
     half = C // 2
     row_start = row_start_ref[t]
+    col_base = pl.multiple_of(col_base_ref[c], 128)
 
-    cp = pltpu.make_async_copy(coef_ref.at[pl.ds(row_start, R_MAX)], coef_buf,
-                               sems.at[0])
-    fp = pltpu.make_async_copy(freq_ref.at[pl.ds(row_start, R_MAX)], freq_buf,
-                               sems.at[1])
+    cp = pltpu.make_async_copy(
+        coef_ref.at[pl.ds(row_start, r_max), :, pl.ds(col_base, cw)],
+        coef_buf, sems.at[0])
+    fp = pltpu.make_async_copy(
+        freq_ref.at[pl.ds(row_start, r_max), :, pl.ds(col_base, cw)],
+        freq_buf, sems.at[1])
     cp.start()
     fp.start()
     cp.wait()
@@ -65,6 +65,8 @@ def _kernel(hidden, W, n_hidden,
     relx_m = relxm_ref[0, :]
     relx_p = relxp_ref[0, :]
     phase = phase_ref[:, 0][:, None]  # (half, 1)
+    pxm = pxm_ref[0]  # (CW, WT)
+    pxp = pxp_ref[0]
 
     for r in range(T_R):
         hr_row = t * T_R + r
@@ -73,15 +75,15 @@ def _kernel(hidden, W, n_hidden,
         ry_m = rel_y_m_ref[hr_row]
         ry_p = rel_y_p_ref[hr_row]
 
-        coef_m = coef_buf[iy_m]   # (C, w)
+        coef_m = coef_buf[iy_m]   # (C, CW)
         freq_m = freq_buf[iy_m]
         coef_p = coef_buf[iy_p]
         freq_p = freq_buf[iy_p]
 
-        # stacked column expansion: (4C, w) @ (w, W) on the MXU
+        # stacked column expansion: (4C, CW) @ (CW, WT) on the MXU
         sm = jnp.concatenate([coef_m, freq_m, coef_p, freq_p], axis=0)
-        a_m = jnp.dot(sm, pxm_ref[:, :], preferred_element_type=jnp.float32)
-        a_p = jnp.dot(sm, pxp_ref[:, :], preferred_element_type=jnp.float32)
+        a_m = jnp.dot(sm, pxm, preferred_element_type=jnp.float32)
+        a_p = jnp.dot(sm, pxp, preferred_element_type=jnp.float32)
 
         # combos in reference loop order [(vx,vy)] = mm, mp, pm, pp
         combos = (
@@ -100,7 +102,7 @@ def _kernel(hidden, W, n_hidden,
             basis = jnp.concatenate(
                 [jnp.cos(math.pi * f), jnp.sin(math.pi * f)], axis=0
             )
-            piece = (weights[i][None, :] * coef_c) * basis  # (C, W)
+            piece = (weights[i][None, :] * coef_c) * basis  # (C, WT)
             term = jnp.dot(w1t_ref[i], piece, preferred_element_type=jnp.float32)
             acc = term if acc is None else acc + term
         hcur = jnp.maximum(acc + b1_ref[:, 0][:, None], 0.0)
@@ -110,7 +112,7 @@ def _kernel(hidden, W, n_hidden,
                 + bh_ref[j, :, 0][:, None], 0.0)
         info = (jnp.dot(w4t_ref[:, :], hcur, preferred_element_type=jnp.float32)
                 + b4_ref[:, 0][:, None])
-        out_ref[:, r * W:(r + 1) * W] = info
+        out_ref[:, r, :] = info
 
 
 def _nearest_index_vec(coord, n):
@@ -123,7 +125,8 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     """Compute channel-major (64, H*W) affine info for a regular grid.
 
     coef/freq: (1, h, w, C) conv outputs; coord_y: (H,), coord_x: (W,)
-    (1-D, batch stripped); cell: (1, 2).  H must be a multiple of T_R.
+    (1-D, batch stripped); cell: (1, 2).  H must be a multiple of T_R and
+    W a multiple of WT (the predictor pads accordingly).
     """
     from bfsr_tpu.ops import nn as fnn
 
@@ -132,8 +135,18 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     h, w = coef.shape[1], coef.shape[2]
     H = coord_y.shape[0]
     W = coord_x.shape[0]
-    assert H % T_R == 0
-    n_tiles = H // T_R
+    assert H % T_R == 0 and W % WT == 0, (H, W)
+    scale_est = min(H / h, W / w)
+    wt, cw, r_max = next(
+        (c[0], c[1], c[2]) for c in _CONFIGS
+        if W % c[0] == 0 and scale_est >= c[3]
+    )
+    # the DMA window never needs to exceed the (128-padded) LR extent
+    w128 = -(-w // 128) * 128
+    cw = min(cw, w128)
+    r_max = min(r_max, max(h, T_R))
+    n_rows = H // T_R
+    n_cols = W // wt
 
     rx = 1.0 / h
     ry_cell = 1.0 / w
@@ -150,31 +163,36 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     ix_m, rel_x_m = axis(coord_x, w, -ry_cell)
     ix_p, rel_x_p = axis(coord_x, w, +ry_cell)
 
-    # per-tile LR row-range starts, clamped so [start, start+R_MAX) is valid
-    first = iy_m.reshape(n_tiles, T_R)[:, 0]
-    row_start = jnp.clip(first, 0, max(h - R_MAX, 0))
+    # channel-major LR maps, padded so every DMA window is valid
+    w_pad = max(w128, cw)
+    h_pad_rows = max(r_max - h, 0)
+    coef_cm = jnp.pad(coef[0].transpose(0, 2, 1),
+                      ((0, h_pad_rows), (0, 0), (0, w_pad - w)))
+    freq_cm = jnp.pad(freq[0].transpose(0, 2, 1),
+                      ((0, h_pad_rows), (0, 0), (0, w_pad - w)))
 
-    pxm = jax.nn.one_hot(ix_m, w, dtype=jnp.float32).T  # (w, W)
-    pxp = jax.nn.one_hot(ix_p, w, dtype=jnp.float32).T
+    # per-row-tile LR row-window starts (iy monotonic on regular grids)
+    row_start = jnp.clip(iy_m.reshape(n_rows, T_R)[:, 0], 0,
+                         max(h + h_pad_rows - r_max, 0))
+    # per-col-tile LR col-window bases, 128-aligned for the DMA
+    first_ix = ix_m.reshape(n_cols, wt)[:, 0]
+    col_base = jnp.clip((first_ix // 128) * 128, 0, max(w_pad - cw, 0))
+
+    # per-tile one-hot column selectors, indices relative to col_base
+    def local_px(ix):
+        local = ix.reshape(n_cols, wt) - col_base[:, None]
+        return jax.nn.one_hot(local, cw, dtype=jnp.float32).transpose(0, 2, 1)
+
+    pxm = local_px(ix_m)  # (n_cols, CW, WT)
+    pxp = local_px(ix_p)
 
     rel_cell = cell * jnp.asarray([h, w], cell.dtype)
     phase = fnn.linear(rel_cell, params["phase"])[0]  # (C/2,)
 
-    # channel-major LR maps; pad rows so every R_MAX DMA window is valid and
-    # the width to a 128-lane multiple (Mosaic DMA slice alignment)
-    w128 = -(-w // 128) * 128
-    coef_cm = coef[0].transpose(0, 2, 1)  # (h, C, w)
-    freq_cm = freq[0].transpose(0, 2, 1)
-    pad_h_rows = max(R_MAX - h, 0)
-    coef_cm = jnp.pad(coef_cm, ((0, pad_h_rows), (0, 0), (0, w128 - w)))
-    freq_cm = jnp.pad(freq_cm, ((0, pad_h_rows), (0, 0), (0, w128 - w)))
-    pxm = jnp.pad(pxm, ((0, w128 - w), (0, 0)))
-    pxp = jnp.pad(pxp, ((0, w128 - w), (0, 0)))
-
     mlp = params["mlp"]
     n_hidden = len(mlp) - 2
     w1 = mlp[0]["w"]  # (4C, C)
-    w1t = jnp.stack([w1[i * C:(i + 1) * C].T for i in range(4)])  # (4, C, C)
+    w1t = jnp.stack([w1[i * C:(i + 1) * C].T for i in range(4)])
     if n_hidden > 0:
         wht = jnp.stack([mlp[1 + j]["w"].T for j in range(n_hidden)])
         bh = jnp.stack([mlp[1 + j]["b"][:, None] for j in range(n_hidden)])
@@ -185,15 +203,19 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     b4 = jnp.pad(mlp[-1]["b"], (0, 64 - mlp[-1]["b"].shape[0]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(n_tiles,),
+        num_scalar_prefetch=6,
+        grid=(n_rows, n_cols),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # coef_cm (DMA'd manually)
             pl.BlockSpec(memory_space=pltpu.ANY),   # freq_cm
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # pxm
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # pxp
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rel_x_m (1, W)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rel_x_p
+            pl.BlockSpec((1, cw, wt), lambda t, c, *_: (c, 0, 0),
+                         memory_space=pltpu.VMEM),  # pxm
+            pl.BlockSpec((1, cw, wt), lambda t, c, *_: (c, 0, 0),
+                         memory_space=pltpu.VMEM),  # pxp
+            pl.BlockSpec((1, wt), lambda t, c, *_: (0, c),
+                         memory_space=pltpu.VMEM),  # rel_x_m
+            pl.BlockSpec((1, wt), lambda t, c, *_: (0, c),
+                         memory_space=pltpu.VMEM),  # rel_x_p
             pl.BlockSpec(memory_space=pltpu.VMEM),  # phase (C/2, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1t
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wht
@@ -202,25 +224,26 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b4
         ],
-        out_specs=pl.BlockSpec((64, T_R * W), lambda i, *_: (0, i),
+        out_specs=pl.BlockSpec((64, T_R, wt), lambda t, c, *_: (0, t, c),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R_MAX, C, w128), jnp.float32),
-            pltpu.VMEM((R_MAX, C, w128), jnp.float32),
+            pltpu.VMEM((r_max, C, cw), jnp.float32),
+            pltpu.VMEM((r_max, C, cw), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    return pl.pallas_call(
-        functools.partial(_kernel, C, W, n_hidden),
-        out_shape=jax.ShapeDtypeStruct((64, H * W), jnp.float32),
+    out = pl.pallas_call(
+        functools.partial(_kernel, C, n_hidden, cw, r_max),
+        out_shape=jax.ShapeDtypeStruct((64, H, W), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        row_start.astype(jnp.int32), iy_m.astype(jnp.int32),
-        iy_p.astype(jnp.int32), rel_y_m, rel_y_p,
+        row_start.astype(jnp.int32), col_base.astype(jnp.int32),
+        iy_m.astype(jnp.int32), iy_p.astype(jnp.int32), rel_y_m, rel_y_p,
         coef_cm, freq_cm, pxm, pxp,
         rel_x_m[None, :], rel_x_p[None, :], phase[:, None],
         w1t, wht, w4.T,
         mlp[0]["b"][:, None], bh, b4[:, None],
     )
+    return out.reshape(64, H * W)

@@ -79,9 +79,7 @@ class LINFPredictor:
             return linf_affine_info_grid(linf_params, feat, cy_tile, coord_x,
                                          cell, model.hidden_dim)
 
-        # the fused info kernel's per-row working set scales with W; fall
-        # back to the XLA path beyond its VMEM budget (wide DIV2K images)
-        if self.use_pallas and B == 1 and d == 3 and W <= 1024:
+        if self.use_pallas and B == 1 and d == 3:
             return self._predict_pallas(linf_params, prior_params, inp, coord,
                                         cell, gt_lr_up, temperature, key,
                                         use_prior, sample, feat, cy_t, coord_x,
@@ -156,10 +154,11 @@ class LINFPredictor:
 
         model = self.model
         imnet = linf_params["imnet"]
-        # pad HR rows to the kernel row-tile size and cols to a multiple of
-        # 16 (the (64, T_R*W) output blocks must be lane-aligned)
+        from bfsr_tpu.ops.pallas.linf_info import WT
+
+        # pad HR rows/cols to the fused kernel's tile sizes
         Hp8 = -(-H // T_R) * T_R
-        Wp = -(-W // 16) * 16
+        Wp = -(-W // WT) * WT
         coord_y = jnp.pad(coord[0, :, 0, 0], (0, Hp8 - H), mode="edge")
         coord_x = jnp.pad(coord[0, 0, :, 1], (0, Wp - W), mode="edge")
         n = Hp8 * Wp

@@ -13,10 +13,10 @@ from bfsr_tpu.utils.coords import make_coord_np, make_cell
 from test_pipelines import small_linf
 
 
-def _setup(rng, h=6, w=7, s=4):
+def _setup(rng, h=6, w=7, s=4, W_override=None):
     m = small_linf()
-    H, W = h * s, w * s
-    assert H % 8 == 0 or True
+    H = h * s
+    W = W_override or w * s
     inp = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32))
     feat = m.gen_feat(m.params, inp)
     coord = make_coord_np((H, W), flatten=False)
@@ -27,7 +27,7 @@ def _setup(rng, h=6, w=7, s=4):
 
 
 def test_fused_info_matches_reference(rng):
-    m, feat, cy, cx, cell, H, W = _setup(rng, h=6, w=7, s=4)  # H=24, W=28
+    m, feat, cy, cx, cell, H, W = _setup(rng, h=6, w=7, s=4, W_override=128)
     params = m.params
     ref = linf_affine_info_grid(params, feat, cy[None], cx[None], cell,
                                 m.hidden_dim)  # (1, H, W, 60)
@@ -37,13 +37,12 @@ def test_fused_info_matches_reference(rng):
                                   m.hidden_dim, interpret=True)
     got = np.asarray(out_cm)[: ref.shape[-1]].T.reshape(H, W, -1)
     np.testing.assert_allclose(got, np.asarray(ref)[0], atol=2e-4, rtol=1e-4)
-    # padded rows are zero-weighted; just check shape
     assert out_cm.shape == (64, H * W)
 
 
 def test_fused_info_tall_lr(rng):
     """LR taller than R_MAX exercises the DMA row-window clamping."""
-    m, feat, cy, cx, cell, H, W = _setup(rng, h=24, w=5, s=2)  # H=48
+    m, feat, cy, cx, cell, H, W = _setup(rng, h=24, w=5, s=2, W_override=256)
     params = m.params
     ref = linf_affine_info_grid(params, feat, cy[None], cx[None], cell,
                                 m.hidden_dim)
