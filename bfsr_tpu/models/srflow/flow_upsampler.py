@@ -100,23 +100,41 @@ def cache_flow_inverses(params):
     return out
 
 
-def _step_forward(x, p, ft, logdet, cond):
+def _step_forward(x, p, ft, logdet, cond, ft_params=None):
     x, logdet = flows.actnorm(x, p["actnorm"], logdet)
     x, logdet = flows.invconv1x1(x, p["invconv"], logdet)
     if cond:
-        x, logdet = flows.cond_affine(x, ft, p["affine"], logdet)
+        x, logdet = flows.cond_affine(x, ft, p["affine"], logdet,
+                                      ft_params=ft_params)
     return x, logdet
 
 
-def _step_reverse(x, p, ft, logdet, cond):
+def _step_reverse(x, p, ft, logdet, cond, ft_params=None):
     if cond:
-        x, logdet = flows.cond_affine(x, ft, p["affine"], logdet, reverse=True)
+        x, logdet = flows.cond_affine(x, ft, p["affine"], logdet, reverse=True,
+                                      ft_params=ft_params)
     x, logdet = flows.invconv1x1(x, p["invconv"], logdet, reverse=True)
     x, logdet = flows.actnorm(x, p["actnorm"], logdet, reverse=True)
     return x, logdet
 
 
-def encode(params, plan, gt, conds, logdet):
+def precompute_ft(params, plan, conds):
+    """Per-step (scale_ft, shift_ft) feature branches.
+
+    These depend only on the RRDB conditioning, so one pass serves every
+    encode AND decode call on the image — the reference recomputes the
+    fFeatures conv stack inside each of the 2 x 48 coupling evaluations
+    (FlowAffineCouplingsAblation.py:63,91)."""
+    out = []
+    for entry, p in zip(plan, params["layers"]):
+        if entry["kind"] == "step_cond":
+            out.append(flows.cond_affine_ft(conds[entry["level"]], p["affine"]))
+        else:
+            out.append(None)
+    return out
+
+
+def encode(params, plan, gt, conds, logdet, ft_cache=None):
     """gt: (B, H, W, 3); conds: {level: (B, h, w, C_cond)}.
 
     Returns (epses list [eps0..., z_final], logdet).
@@ -124,14 +142,16 @@ def encode(params, plan, gt, conds, logdet):
     """
     x = gt
     epses = []
-    for entry, p in zip(plan, params["layers"]):
+    for i, (entry, p) in enumerate(zip(plan, params["layers"])):
         kind = entry["kind"]
         if kind == "squeeze":
             x = flows.squeeze2d(x)
         elif kind == "step_nc":
             x, logdet = _step_forward(x, p, None, logdet, cond=False)
         elif kind == "step_cond":
-            x, logdet = _step_forward(x, p, conds[entry["level"]], logdet, cond=True)
+            x, logdet = _step_forward(x, p, conds[entry["level"]], logdet,
+                                      cond=True,
+                                      ft_params=ft_cache[i] if ft_cache else None)
         elif kind == "split":
             x, logdet, eps = flows.split2d(x, p, logdet, ft=None)
             epses.append(eps)
@@ -139,7 +159,8 @@ def encode(params, plan, gt, conds, logdet):
     return epses, logdet
 
 
-def decode(params, plan, conds, logdet, z=None, epses=None, eps_std=None, key=None):
+def decode(params, plan, conds, logdet, z=None, epses=None, eps_std=None, key=None,
+           ft_cache=None):
     """Inverse pass; consumes epses back-to-front (z_final popped first).
     (FlowUpsamplerNet.decode, :267-303)"""
     if epses is not None:
@@ -147,14 +168,18 @@ def decode(params, plan, conds, logdet, z=None, epses=None, eps_std=None, key=No
         x = epses.pop()
     else:
         x = z
-    for entry, p in zip(reversed(plan), reversed(params["layers"])):
+    n = len(plan)
+    for ri, (entry, p) in enumerate(zip(reversed(plan), reversed(params["layers"]))):
+        i = n - 1 - ri
         kind = entry["kind"]
         if kind == "squeeze":
             x = flows.unsqueeze2d(x)
         elif kind == "step_nc":
             x, logdet = _step_reverse(x, p, None, logdet, cond=False)
         elif kind == "step_cond":
-            x, logdet = _step_reverse(x, p, conds[entry["level"]], logdet, cond=True)
+            x, logdet = _step_reverse(x, p, conds[entry["level"]], logdet,
+                                      cond=True,
+                                      ft_params=ft_cache[i] if ft_cache else None)
         elif kind == "split":
             eps = epses.pop() if epses is not None else None
             if eps is None and key is not None:

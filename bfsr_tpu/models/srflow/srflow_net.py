@@ -98,7 +98,7 @@ class SRFlowNet(Model):
         return {lvl: lr_enc[names[lvl]] for lvl in range(1, self.L + 1)}
 
     def normal_flow(self, params, gt, lr, key=None, add_gt_noise=True, lr_enc=None,
-                    collect_epses=True):
+                    collect_epses=True, ft_cache=None):
         """Encode GT -> (epses, nll, logdet) (SRFlowNet_arch.py:83-116)."""
         if lr_enc is None:
             lr_enc = self.preprocess(params, lr)
@@ -110,7 +110,8 @@ class SRFlowNet(Model):
             noise = (jax.random.uniform(key, gt.shape, gt.dtype) - 0.5) / self.quant
             z = z + noise
             logdet = logdet + (-math.log(self.quant) * pixels)
-        epses, logdet = fup.encode(params["flow"], self.plan, z, self._conds(lr_enc), logdet)
+        epses, logdet = fup.encode(params["flow"], self.plan, z, self._conds(lr_enc),
+                                   logdet, ft_cache=ft_cache)
         z_final = epses[-1]
         objective = logdet + flows.gaussian_logp(z_final)
         nll = -objective / (math.log(2.0) * pixels)
@@ -119,7 +120,7 @@ class SRFlowNet(Model):
         return z_final, nll, logdet
 
     def reverse_flow(self, params, lr, z=None, epses=None, eps_std=None, key=None,
-                     add_gt_noise=True, lr_enc=None):
+                     add_gt_noise=True, lr_enc=None, ft_cache=None):
         """Decode z/epses -> SR image (SRFlowNet_arch.py:145-158)."""
         if lr_enc is None:
             lr_enc = self.preprocess(params, lr)
@@ -129,8 +130,14 @@ class SRFlowNet(Model):
         if add_gt_noise:
             logdet = logdet + math.log(self.quant) * pixels
         sr, logdet = fup.decode(params["flow"], self.plan, self._conds(lr_enc), logdet,
-                                z=z, epses=epses, eps_std=eps_std, key=key)
+                                z=z, epses=epses, eps_std=eps_std, key=key,
+                                ft_cache=ft_cache)
         return sr, logdet
+
+    def precompute_ft(self, params, lr_enc):
+        """One pass of the per-step feature-conditional branches, shared
+        by every encode/decode on this image (see fup.precompute_ft)."""
+        return fup.precompute_ft(params["flow"], self.plan, self._conds(lr_enc))
 
     # -- wrapper-level helpers (SRFlow_model.py) --------------------------
 

@@ -237,17 +237,30 @@ def _scale_shift(h, eps=AFFINE_EPS):
     return scale, shift
 
 
-def cond_affine(x, ft, p, logdet=None, reverse=False):
+def cond_affine_ft(ft, p):
+    """Precompute the feature-conditional branch (scale_ft, shift_ft).
+
+    fFeatures depends only on the RRDB conditioning — not on the flow
+    state — so all K steps' feature branches can be computed once per
+    image and shared between the encode and decode passes (the reference
+    recomputes them per step per pass)."""
+    return _scale_shift(flow_f(ft, p["fFeatures"]))
+
+
+def cond_affine(x, ft, p, logdet=None, reverse=False, ft_params=None):
     """Two-part conditional affine coupling
     (FlowAffineCouplingsAblation.py:57-97).
 
     p = {'fFeatures': flow_f params (ft -> 2C), 'fAffine': flow_f params
     ([z1, ft] -> 2*C_co)}.  channels_for_nn = C//2 passes through.
+    ft_params: optional precomputed (scale_ft, shift_ft) from
+    ``cond_affine_ft``.
     """
     c = x.shape[-1]
     c_nn = c // 2
     if not reverse:
-        scale_ft, shift_ft = _scale_shift(flow_f(ft, p["fFeatures"]))
+        scale_ft, shift_ft = (ft_params if ft_params is not None
+                              else cond_affine_ft(ft, p))
         z = (x + shift_ft) * scale_ft
         if logdet is not None:
             logdet = logdet + _sum_log(scale_ft)
@@ -263,7 +276,8 @@ def cond_affine(x, ft, p, logdet=None, reverse=False):
     z = jnp.concatenate([z1, z2], -1)
     if logdet is not None:
         logdet = logdet - _sum_log(scale)
-    scale_ft, shift_ft = _scale_shift(flow_f(ft, p["fFeatures"]))
+    scale_ft, shift_ft = (ft_params if ft_params is not None
+                          else cond_affine_ft(ft, p))
     z = z / scale_ft - shift_ft
     if logdet is not None:
         logdet = logdet - _sum_log(scale_ft)

@@ -27,12 +27,14 @@ class SRFlowLPPredictor:
         h, w = lr.shape[1], lr.shape[2]
         lr_up = resize_bilinear(lr, (h * s, w * s))
         lr_enc = model.preprocess(params, lr)
+        ft_cache = model.precompute_ft(params, lr_enc)
         epses, _, _ = model.normal_flow(params, lr_up, lr, add_gt_noise=False,
-                                        lr_enc=lr_enc)
+                                        lr_enc=lr_enc, ft_cache=ft_cache)
         epses = standardize_epses(epses)
         learned = self.prior.apply(prior_params, epses)
         sr, _ = model.reverse_flow(params, lr, epses=learned,
-                                   add_gt_noise=False, lr_enc=lr_enc)
+                                   add_gt_noise=False, lr_enc=lr_enc,
+                                   ft_cache=ft_cache)
         return sr
 
     def predict(self, lr_img01):
