@@ -29,6 +29,20 @@ from bfsr_tpu.utils.misc import Averager
 from bfsr_tpu.ops.imresize import imresize
 
 
+def device_psnr(pred01, gt01, dataset=None, scale=1):
+    """On-device PSNR (f32) mirroring utils.metrics.calc_psnr — used when
+    only the scalar is needed, so full images never cross the host link
+    (host fetches can dominate on tunneled TPUs)."""
+    diff = pred01 - gt01
+    if dataset == "benchmark":
+        coeffs = jnp.asarray([65.738, 129.057, 25.064], jnp.float32) / 256.0
+        diff = jnp.sum(diff * coeffs, axis=-1, keepdims=True)
+    if dataset in ("benchmark", "div2k"):
+        diff = diff[:, scale:-scale, scale:-scale]
+    mse = jnp.mean(diff.astype(jnp.float32) ** 2)
+    return -10.0 * jnp.log10(mse)
+
+
 class LINFPredictor:
     """Jitted whole-image predictor for a LINF(-patch) model + optional
     prior module.
@@ -272,6 +286,28 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
             dh = coord.shape[1] - gt_lr_up.shape[1]
             dw = coord.shape[2] - gt_lr_up.shape[2]
             gt_lr_up = jnp.pad(gt_lr_up, ((0, 0), (0, dh), (0, dw), (0, 0)))
+
+        fast_scalar = (not detail and not randomness
+                       and not (idx < sample and save_path) and not patch)
+        if fast_scalar:
+            # scalar-only path: PSNR computed on device — full images never
+            # cross the host link (which can be the eval bottleneck)
+            key = jax.random.PRNGKey(idx * 131)
+            pred_dev = predictor.predict(
+                model.params, prior_model.params if prior_model else None,
+                inp_j, coord, cell, gt_lr_up,
+                temperature=temperature, key=key,
+            )[..., : gt.shape[1], : gt.shape[2], :]
+            pred01 = jnp.clip(pred_dev * jnp.asarray(gt_div)
+                              + jnp.asarray(gt_sub), 0, 1)
+            dataset = (None if eval_type is None
+                       else ("benchmark" if eval_type.startswith("benchmark")
+                             else "div2k"))
+            val_psnr.add(float(device_psnr(pred01, jnp.asarray(gt), dataset,
+                                           scale)), 1)
+            if verbose:
+                log_fn(f"[{idx}] psnr {val_psnr.item():.4f}")
+            continue
 
         preds = []
         for s in range(n_samples):
