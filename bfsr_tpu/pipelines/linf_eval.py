@@ -218,6 +218,9 @@ class LINFPredictor:
                              use_prior=use_prior, sample=sample)
 
 
+_PREDICTOR_CACHE = {}
+
+
 def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
               eval_bsize=None, window_size=0, scale_max=4, verbose=False,
               detail=False, randomness=False, temperature=0.0, patch=False,
@@ -251,7 +254,13 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
         # reference semantics: max queries per flow call
         # (configs eval_bsize: 300000); bounded by our memory-safe default
         tile_queries = min(tile_queries, int(eval_bsize))
-    predictor = LINFPredictor(model, prior_model, tile_queries=tile_queries)
+    # reuse predictors across calls (periodic validation during training
+    # would otherwise rebuild the jit wrapper and recompile every time)
+    cache_key = (id(model), id(prior_model), tile_queries)
+    predictor = _PREDICTOR_CACHE.get(cache_key)
+    if predictor is None:
+        predictor = LINFPredictor(model, prior_model, tile_queries=tile_queries)
+        _PREDICTOR_CACHE[cache_key] = predictor
     val_psnr, val_ssim, val_lpips, val_lr, val_div = (Averager() for _ in range(5))
 
     n_samples = 5 if randomness else 1
