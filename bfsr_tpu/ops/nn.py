@@ -98,7 +98,11 @@ def batch_norm(x, p, training=False, eps=1e-5):
         mean = jnp.mean(x, axis=(0, 1, 2))
         var = jnp.var(x, axis=(0, 1, 2))
         y = (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
-        return y, (mean, var)
+        # torch normalizes with the biased variance but folds the UNBIASED
+        # (n/(n-1)) variance into running_var — return that for the update
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        var_unbiased = var * (n / max(n - 1, 1))
+        return y, (mean, var_unbiased)
     y = (x - p["mean"]) * jax.lax.rsqrt(p["var"] + eps) * p["scale"] + p["bias"]
     return y
 

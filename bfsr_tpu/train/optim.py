@@ -7,8 +7,6 @@
   SRFlow-LP/code/models/lr_scheduler.py for the SRFlow training path.
 """
 
-import math
-
 import jax.numpy as jnp
 import optax
 
@@ -30,18 +28,31 @@ def multi_step_lr(base_lr, milestones, gamma=0.5):
 
 
 def multi_step_restart(base_lr, milestones, gamma=0.5, restarts=(), restart_weights=()):
-    """MultiStepLR_Restart (lr_scheduler.py:24-50), iteration-indexed."""
+    """MultiStepLR_Restart (lr_scheduler.py:24-50), iteration-indexed.
+
+    At a restart r the lr resets to ``base_lr * weight``; milestones after
+    the last restart each multiply by ``gamma`` (a milestone coinciding with
+    a restart step is swallowed by the reset, matching the torch scheduler's
+    get_lr order).  Pure jnp piecewise math — safe inside
+    ``optax.scale_by_schedule`` under jit.
+    """
     milestones = sorted(milestones)
-    restarts = list(restarts)
-    weights = list(restart_weights)
+    order = sorted(range(len(restarts)), key=lambda i: restarts[i])
+    restarts = [restarts[i] for i in order]
+    weights = [restart_weights[i] for i in order]
 
     def schedule(step):
         step = jnp.asarray(step)
-        lr = base_lr
-        for r, w in zip(restarts, weights):
-            lr = jnp.where(step == r, base_lr * w, lr)
-        n = sum(jnp.where(step >= m, 1, 0) for m in milestones)
-        return base_lr * (gamma ** n)
+        w = jnp.asarray(1.0, jnp.float32)
+        last_restart = jnp.asarray(0, jnp.int32)
+        for r, rw in zip(restarts, weights):
+            hit = step >= r
+            w = jnp.where(hit, rw, w)
+            last_restart = jnp.where(hit, r, last_restart)
+        n = sum(
+            jnp.where((step >= m) & (m > last_restart), 1, 0) for m in milestones
+        )
+        return base_lr * w * (gamma ** n)
 
     return schedule
 
@@ -49,25 +60,36 @@ def multi_step_restart(base_lr, milestones, gamma=0.5, restarts=(), restart_weig
 def cosine_restart(base_lr, t_period, eta_min=1e-7, restarts=(), restart_weights=()):
     """CosineAnnealingLR_Restart (lr_scheduler.py:53-163)."""
     periods = list(t_period)
-    restarts = list(restarts) + [float("inf")]
     weights = [1.0] + list(restart_weights)
+    if restarts:
+        bounds = []
+        acc = 0
+        for p in periods[:-1]:
+            acc += p
+            bounds.append(acc)
+        if sorted(restarts) != bounds:
+            raise ValueError(
+                f"restarts {sorted(restarts)} must sit at the cumulative "
+                f"T_period boundaries {bounds} (the reference's shipped usage)"
+            )
 
     def schedule(step):
-        step = float(step) if not hasattr(step, "dtype") else step
-        # piecewise cosine within the current period
-        def py(sch_step):
-            last = 0
-            for i, p in enumerate(periods):
-                if sch_step < last + p:
-                    t = sch_step - last
-                    w = weights[min(i, len(weights) - 1)]
-                    return eta_min + 0.5 * (base_lr * w - eta_min) * (
-                        1 + math.cos(math.pi * t / p)
-                    )
-                last += p
-            return eta_min
-
-        return py(int(step))
+        # Closed-form piecewise cosine: within period i (restarts at
+        # cumulative period boundaries — the reference's shipped usage),
+        # lr = eta_min + 0.5*(base_lr*w_i - eta_min)*(1 + cos(pi*t/T_i)).
+        # Pure jnp — safe inside optax.scale_by_schedule under jit.
+        step = jnp.asarray(step, jnp.float32)
+        lr = jnp.asarray(eta_min, jnp.float32)
+        last = 0.0
+        for i, p in enumerate(periods):
+            t = step - last
+            w = weights[min(i, len(weights) - 1)]
+            val = eta_min + 0.5 * (base_lr * w - eta_min) * (
+                1.0 + jnp.cos(jnp.pi * t / p)
+            )
+            lr = jnp.where((step >= last) & (step < last + p), val, lr)
+            last += p
+        return lr
 
     return schedule
 

@@ -120,3 +120,31 @@ def test_spec_roundtrip():
     a = jax.tree_util.tree_leaves(m.params)
     b = jax.tree_util.tree_leaves(m2.params)
     assert all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+
+
+def test_batch_norm_running_stats_match_torch(rng):
+    """torch BatchNorm2d updates running_var with the UNBIASED variance
+    (ADVICE r1): one train-mode forward must produce identical running
+    stats."""
+    import torch
+
+    from bfsr_tpu.ops import nn as fnn
+
+    x = rng.random((4, 6, 5, 8)).astype(np.float32)
+    tbn = torch.nn.BatchNorm2d(8, momentum=0.1)
+    tbn.train()
+    with torch.no_grad():
+        ty = tbn(torch.from_numpy(x).permute(0, 3, 1, 2))
+
+    p = {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,)),
+         "mean": jnp.zeros((8,)), "var": jnp.ones((8,))}
+    y, (mean, var_unb) = fnn.batch_norm(jnp.asarray(x), p, training=True)
+    new_mean = 0.9 * p["mean"] + 0.1 * mean
+    new_var = 0.9 * p["var"] + 0.1 * var_unb
+
+    np.testing.assert_allclose(np.asarray(y),
+                               ty.permute(0, 2, 3, 1).numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_mean),
+                               tbn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_var),
+                               tbn.running_var.numpy(), atol=1e-6)

@@ -28,9 +28,102 @@ def test_multi_step_restart_gamma():
 def test_cosine_restart_endpoints():
     sch = cosine_restart(1.0, t_period=[10, 10], eta_min=0.0,
                          restarts=[10], restart_weights=[1.0])
-    assert abs(sch(0) - 1.0) < 1e-9
-    assert abs(sch(5) - 0.5) < 1e-9
+    assert abs(sch(0) - 1.0) < 1e-6
+    assert abs(sch(5) - 0.5) < 1e-6
     assert abs(sch(10) - 1.0) < 1e-9  # restart
+
+
+def _torch_lr_sweep(make_scheduler, n):
+    """lr values at last_epoch = 0..n-1 for a reference torch scheduler."""
+    import torch
+
+    opt = torch.optim.Adam([torch.zeros(2, requires_grad=True)], lr=1.0)
+    sch = make_scheduler(opt)
+    out = [opt.param_groups[0]["lr"]]
+    for _ in range(n - 1):
+        sch.step()
+        out.append(opt.param_groups[0]["lr"])
+    return np.asarray(out)
+
+
+def test_multi_step_restart_torch_oracle():
+    """Sweep vs reference MultiStepLR_Restart (lr_scheduler.py:24-50),
+    including a restart with weight != 1."""
+    import sys
+    sys.path.insert(0, "/root/reference/SRFlow-LP/code/models")
+    try:
+        from lr_scheduler import MultiStepLR_Restart
+    finally:
+        sys.path.pop(0)
+
+    milestones = [30, 60, 120, 180, 240]
+    restarts = [150]
+    weights = [0.7]
+    ref = _torch_lr_sweep(
+        lambda o: MultiStepLR_Restart(o, milestones, restarts=restarts,
+                                      weights=weights, gamma=0.5,
+                                      lr_steps_invese=[]),
+        300,
+    )
+    sch = multi_step_restart(1.0, milestones, gamma=0.5, restarts=restarts,
+                             restart_weights=weights)
+    ours = np.asarray([float(sch(t)) for t in range(300)])
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_cosine_restart_torch_oracle():
+    """Sweep vs reference CosineAnnealingLR_Restart (lr_scheduler.py:53-81)."""
+    import sys
+    sys.path.insert(0, "/root/reference/SRFlow-LP/code/models")
+    try:
+        from lr_scheduler import CosineAnnealingLR_Restart
+    finally:
+        sys.path.pop(0)
+
+    t_period = [100, 100, 100, 100]
+    restarts = [100, 200, 300]
+    weights = [1.0, 0.5, 0.5]
+    n = 400
+    ref = _torch_lr_sweep(
+        lambda o: CosineAnnealingLR_Restart(o, t_period, eta_min=1e-7,
+                                            restarts=restarts, weights=weights),
+        n,
+    )
+    sch = cosine_restart(1.0, t_period, eta_min=1e-7, restarts=restarts,
+                         restart_weights=weights)
+    ours = np.asarray([float(sch(t)) for t in range(n)])
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_cosine_restart_rejects_misaligned_restarts():
+    with pytest.raises(ValueError):
+        cosine_restart(1.0, [100, 100], restarts=[50], restart_weights=[1.0])
+
+
+@pytest.mark.parametrize("make_sch", [
+    lambda: multi_step_restart(1e-3, [5, 10], gamma=0.5, restarts=[8],
+                               restart_weights=[0.5]),
+    lambda: cosine_restart(1e-3, [10, 10], eta_min=1e-7, restarts=[10],
+                           restart_weights=[0.8]),
+])
+def test_schedule_trace_safe_in_jitted_optax_update(make_sch):
+    """The schedules must evaluate on a TRACED step count — exactly how
+    make_optimizer consumes them via optax inside a jitted train step."""
+    import jax
+
+    sch = make_sch()
+    opt = make_optimizer({"name": "adam", "args": {"lr": 1.0}}, schedule=sch)
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        updates, state = opt.update({"w": jnp.ones((3,))}, state, params)
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(3):
+        params, state = step(params, state)
+    assert np.all(np.isfinite(np.asarray(params["w"])))
 
 
 def test_make_optimizer_adam_updates(rng):

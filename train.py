@@ -192,15 +192,15 @@ if __name__ == "__main__":
         save_name += "_" + args.tag
     save_path = os.path.join("./save", save_name)
 
-    # patch-mode config rewriting (reference train.py:308-319)
+    # patch-mode config rewriting (reference train.py:309-320): '-crop' is
+    # appended to the TRAIN wrapper only; '-patch' to both train and val.
     config["patch"] = bool(args.patch)
-    for key in ("train_dataset", "val_dataset"):
-        if key in config:
-            config[key]["wrapper"]["name"] += "-crop"
-            if args.patch:
+    config["train_dataset"]["wrapper"]["name"] += "-crop"
+    if args.patch:
+        for key in ("train_dataset", "val_dataset"):
+            if config.get(key):
                 config[key]["wrapper"]["name"] += "-patch"
                 config[key]["wrapper"].setdefault("args", {})["patch_size"] = args.patch
-    if args.patch:
         config["model"]["name"] += "-patch"
         config["model"]["args"]["patch_size"] = args.patch
         config["prior_model"]["args"]["in_chans"] = 3 * args.patch ** 2
