@@ -92,21 +92,31 @@ def main():
     parser.add_argument("conf")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--lpips_weights", default=None)
+    parser.add_argument("--no_lpips", action="store_true",
+                        help="skip the LPIPS metric (otherwise weights are "
+                             "required — it is the paper's headline metric)")
     args = parser.parse_args()
 
     with open(args.conf) as f:
         opt = yaml.safe_load(f)
-
-    model = load_srflow_model(opt)
-    prior = load_prior_from_conf(opt)
-    predictor = SRFlowLPPredictor(model, prior)
 
     lpips_model = None
     if args.lpips_weights:
         from bfsr_tpu.models.lpips import load_lpips
 
         lpips_model = load_lpips(args.lpips_weights)
+    elif not args.no_lpips:
+        raise SystemExit(
+            "LPIPS (the paper's headline metric, Measure.py:32-44) needs "
+            "converted weights. Convert once with `python "
+            "convert_checkpoint.py lpips_alex.pth lpips.ckpt --kind lpips` "
+            "and pass --lpips_weights, or pass --no_lpips to skip it."
+        )
     measure = Measure(lpips_model)
+
+    model = load_srflow_model(opt)
+    prior = load_prior_from_conf(opt)
+    predictor = SRFlowLPPredictor(model, prior)
 
     lr_paths = natsorted(glob.glob(os.path.join(opt["dataroot_LR"], "*.png")))
     hr_paths = natsorted(glob.glob(os.path.join(opt["dataroot_GT"], "*.png")))

@@ -45,10 +45,31 @@ def main():
     parser.add_argument("--pad_multiple", type=int, default=0,
                         help="reflect-pad LR to this multiple to bound jit "
                              "recompiles across image shapes")
+    parser.add_argument("--lpips_weights", default=None,
+                        help="converted LPIPS-alex weights (.ckpt or torch "
+                             ".pth); required for --detail unless --no_lpips")
+    parser.add_argument("--no_lpips", action="store_true",
+                        help="skip the LPIPS metric in --detail mode")
     args = parser.parse_args()
 
     with open(args.config) as f:
         config = yaml.safe_load(f)
+
+    # LPIPS is the paper's headline metric (reference test.py:87,193): fail
+    # loudly (and fast, before model load) rather than silently reporting
+    # NaN when weights are missing.
+    lpips_model = None
+    if args.lpips_weights:
+        from bfsr_tpu.models.lpips import load_lpips
+
+        lpips_model = load_lpips(args.lpips_weights)
+    elif args.detail and not args.no_lpips:
+        raise SystemExit(
+            "--detail computes LPIPS (the paper's headline metric) but no "
+            "weights were given. Convert once with `python "
+            "convert_checkpoint.py lpips_alex.pth lpips.ckpt --kind lpips` "
+            "and pass --lpips_weights, or pass --no_lpips to skip it."
+        )
 
     model = load_linf_model(args.model, freeze=True)
     prior_model = load_prior_model(args.prior_model) if args.prior_model else None
@@ -86,6 +107,7 @@ def main():
         temperature=args.temperature,
         patch=args.patch,
         tile_queries=args.tile_queries,
+        lpips_model=lpips_model,
         limit=args.limit,
         sample=args.sample,
         save_path=save_path,

@@ -57,6 +57,6 @@ def test_srflow_pth_through_cli(tmp_path, monkeypatch):
     import srflow_test
 
     monkeypatch.chdir(tmp_path)
-    monkeypatch.setattr(sys, "argv", ["srflow_test.py", conf_path, "--limit", "1"])
+    monkeypatch.setattr(sys, "argv", ["srflow_test.py", conf_path, "--limit", "1", "--no_lpips"])
     srflow_test.main()
     assert os.path.exists(os.path.join("results", "SRFlow-LP", "measure_full.csv"))

@@ -110,9 +110,18 @@ def main(config, save_path, patch=False):
                 vgg_model.load_params(convert_vgg19(load_torch_checkpoint(vgg_path)))
             else:
                 vgg_model.load_params(ckpt.load_checkpoint(vgg_path))
-        else:
+        elif config.get("allow_random_vgg"):
             utils.log("WARNING: no VGG19 weights given (config key "
-                      "'vgg_weights'); perceptual loss uses random features")
+                      "'vgg_weights'); perceptual loss uses RANDOM features "
+                      "(allow_random_vgg set)")
+        else:
+            raise SystemExit(
+                "loss_weight.vgg > 0 but no converted VGG19 weights were "
+                "given (config key 'vgg_weights'; convert with "
+                "`python convert_checkpoint.py vgg19.pth vgg19.ckpt --kind "
+                "vgg`). Training a perceptual loss on random features "
+                "produces noise — pass --allow_random_vgg to override."
+            )
 
     step = make_train_step(linf_model, prior_model, vgg_model, optimizer,
                            vgg_weight=vgg_weight, latent_weight=latent_weight,
@@ -179,6 +188,9 @@ if __name__ == "__main__":
     parser.add_argument("--patch", type=int, default=None,
                         help="patch size; rewrites wrapper/model names like the reference")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--allow_random_vgg", action="store_true",
+                        help="proceed with a random-weight VGG perceptual "
+                             "loss when no converted weights are given")
     args = parser.parse_args()
 
     with open(args.config) as f:
@@ -205,4 +217,6 @@ if __name__ == "__main__":
         config["model"]["args"]["patch_size"] = args.patch
         config["prior_model"]["args"]["in_chans"] = 3 * args.patch ** 2
 
+    if args.allow_random_vgg:
+        config["allow_random_vgg"] = True
     main(config, save_path, patch=bool(args.patch))
