@@ -1,20 +1,35 @@
 """Plain (non-flow) SR model training — the reference's SRModel path
-(SRFlow-LP/code/models/SR_model.py, F13): an upsampling encoder (RRDB/EDSR
-with tails) trained with CharbonnierLoss, plus the x8 self-ensemble eval."""
+(SRFlow-LP/code/models/SR_model.py, F13): an upsampling generator (RRDB/EDSR
+with tails) trained with a pixel criterion ('l1' | 'l2' | 'cb', SR_model.py:
+58-67), plus the x8 self-ensemble eval (SR_model.py test_x8)."""
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from bfsr_tpu.pipelines.losses import charbonnier_loss
+from bfsr_tpu.pipelines.losses import charbonnier_loss, l1_loss, l2_loss
 
 
-def make_sr_train_step(model, optimizer):
-    """step(params, opt_state, batch) for batch {'LQ','GT'} (B,h,w,3)/(B,H,W,3)."""
+def make_sr_train_step(model, optimizer, pixel_criterion="cb", pixel_weight=1.0):
+    """step(params, opt_state, batch) for batch {'LQ','GT'} (B,h,w,3)/(B,H,W,3).
+
+    Criterion semantics match the torch modules the reference wires up:
+    'l1' = nn.L1Loss (mean), 'l2' = nn.MSELoss (mean), 'cb' =
+    CharbonnierLoss (a SUM over elements, loss.py:21-31) — normalized here
+    by batch size only, like torch's per-batch backward."""
+    if pixel_criterion == "l1":
+        crit = l1_loss
+    elif pixel_criterion == "l2":
+        crit = l2_loss
+    elif pixel_criterion == "cb":
+        crit = lambda p, t: charbonnier_loss(p, t) / p.shape[0]  # noqa: E731
+    else:
+        raise NotImplementedError(
+            f"Loss type [{pixel_criterion}] is not recognized.")
 
     def loss_fn(params, batch):
         sr = model.apply(params, batch["LQ"])
-        return charbonnier_loss(sr, batch["GT"]) / sr.size
+        return pixel_weight * crit(sr, batch["GT"])
 
     @jax.jit
     def step(params, opt_state, batch):

@@ -24,11 +24,105 @@ from bfsr_tpu import registry, utils
 from bfsr_tpu.data.loader import DataLoader
 from bfsr_tpu.pipelines.srflow_train import make_srflow_train_step
 from bfsr_tpu.train import checkpoints as ckpt
-from bfsr_tpu.train.optim import multi_step_restart
+from bfsr_tpu.train.optim import cosine_restart, multi_step_restart
 from bfsr_tpu.utils.misc import set_save_path
 import optax
 
 from srflow_test import build_srflow_from_conf
+
+
+def _make_loader(opt):
+    dtrain = opt["datasets"]["train"]
+    dataset = registry.make({"name": "lrhr-pkl", "args": {
+        "dataroot_GT": dtrain["dataroot_GT"],
+        "dataroot_LQ": dtrain["dataroot_LQ"],
+        "use_flip": dtrain.get("use_flip", False),
+        "gt_size": dtrain.get("GT_size"),
+    }})
+    return DataLoader(dataset, batch_size=dtrain["batch_size"], shuffle=True,
+                      num_workers=dtrain.get("n_workers", 3), drop_last=True)
+
+
+def _make_schedule(train_opt, niter, base_lr):
+    """SR_model.py:84-99 / SRFlow_model.py scheduler wiring."""
+    scheme = train_opt.get("lr_scheme", "MultiStepLR")
+    if scheme == "CosineAnnealingLR_Restart":
+        return cosine_restart(base_lr, train_opt["T_period"],
+                              eta_min=train_opt.get("eta_min", 1e-7),
+                              restarts=train_opt.get("restarts") or (),
+                              restart_weights=train_opt.get("restart_weights") or ())
+    steps_rel = train_opt.get("lr_steps_rel")
+    lr_steps = ([int(r * niter) for r in steps_rel] if steps_rel
+                else train_opt.get("lr_steps", []))
+    return multi_step_restart(base_lr, lr_steps, train_opt.get("lr_gamma", 0.5),
+                              restarts=train_opt.get("restarts") or (),
+                              restart_weights=train_opt.get("restart_weights") or ())
+
+
+def train_sr(opt, args):
+    """Plain-SR SRModel training (SR_model.py, F13): upsampling RRDB
+    generator + pixel criterion.  conf: model: sr, network_G.which_model_G:
+    RRDBNet, train.pixel_criterion: l1|l2|cb."""
+    from bfsr_tpu.pipelines.sr_train import make_sr_train_step
+
+    train_opt = opt["train"]
+    niter = args.niter or train_opt["niter"]
+    name = opt.get("name", "sr")
+    save_path = os.path.join("./save", name)
+    log, writer = set_save_path(save_path)
+    loader = _make_loader(opt)
+
+    net = opt["network_G"]
+    which = net.get("which_model_G", "RRDBNet")
+    if which != "RRDBNet":
+        raise NotImplementedError(f"Generator model [{which}] not recognized")
+    model = registry.make({"name": "rrdb", "args": {
+        "in_nc": net.get("in_nc", 3), "out_nc": net.get("out_nc", 3),
+        "nf": net.get("nf", 64), "nb": net.get("nb", 23),
+        "gc": net.get("gc", 32), "no_upsampling": False}})
+
+    start_iter = 0
+    if (opt.get("path") or {}).get("resume_state") == "auto":
+        newest = ckpt.find_auto_resume(save_path)
+        if newest:
+            sv = ckpt.load_checkpoint(newest)
+            model.load_params(sv["params"])
+            start_iter = int(sv.get("iter", 0))
+            log(f"auto-resumed from {newest} at iter {start_iter}")
+
+    base_lr = float(train_opt["lr_G"])
+    schedule = _make_schedule(train_opt, niter, base_lr)
+    optimizer = optax.adam(schedule, b1=train_opt.get("beta1", 0.9),
+                           b2=train_opt.get("beta2", 0.99))
+    opt_state = optimizer.init(model.params)
+    step = make_sr_train_step(model, optimizer,
+                              pixel_criterion=train_opt.get("pixel_criterion", "cb"),
+                              pixel_weight=train_opt.get("pixel_weight", 1.0))
+
+    params = model.params
+    it = start_iter
+    print_freq = (opt.get("logger") or {}).get("print_freq", 100)
+    save_freq = int((opt.get("logger") or {}).get("save_checkpoint_freq", 1000))
+    while it < niter:
+        for batch in loader:
+            if it >= niter:
+                break
+            dev = {"GT": jnp.asarray(batch["GT"]), "LQ": jnp.asarray(batch["LQ"])}
+            params, opt_state, mets = step(params, opt_state, dev)
+            if it % print_freq == 0:
+                log(f"iter {it}: loss={float(mets['loss']):.4f}")
+                writer.add_scalars("train", {"loss": float(mets["loss"])}, it)
+            if it and it % save_freq == 0:
+                model.params = params
+                ckpt.save_checkpoint(os.path.join(save_path, f"G_{it}.ckpt"),
+                                     {"params": params, "spec": model.args,
+                                      "iter": it})
+                ckpt.keep_newest(save_path, "G_", 2)
+            it += 1
+    model.params = params
+    ckpt.save_checkpoint(os.path.join(save_path, "G_latest.ckpt"),
+                         {"params": params, "spec": model.args, "iter": it})
+    log("training done")
 
 
 def main():
@@ -39,21 +133,16 @@ def main():
     with open(args.conf) as f:
         opt = yaml.safe_load(f)
 
+    if opt.get("model") == "sr":
+        return train_sr(opt, args)
+
     train_opt = opt["train"]
     niter = args.niter or train_opt["niter"]
     name = opt.get("name", "srflow")
     save_path = os.path.join("./save", name)
     log, writer = set_save_path(save_path)
 
-    dtrain = opt["datasets"]["train"]
-    dataset = registry.make({"name": "lrhr-pkl", "args": {
-        "dataroot_GT": dtrain["dataroot_GT"],
-        "dataroot_LQ": dtrain["dataroot_LQ"],
-        "use_flip": dtrain.get("use_flip", False),
-        "gt_size": dtrain.get("GT_size"),
-    }})
-    loader = DataLoader(dataset, batch_size=dtrain["batch_size"], shuffle=True,
-                        num_workers=dtrain.get("n_workers", 3), drop_last=True)
+    loader = _make_loader(opt)
 
     model = build_srflow_from_conf(opt)
 
@@ -85,10 +174,7 @@ def main():
     # converted checkpoints carry trained actnorm stats instead.
 
     base_lr = float(train_opt["lr_G"])
-    steps_rel = train_opt.get("lr_steps_rel")
-    lr_steps = ([int(r * niter) for r in steps_rel] if steps_rel
-                else train_opt.get("lr_steps", []))
-    schedule = multi_step_restart(base_lr, lr_steps, train_opt.get("lr_gamma", 0.5))
+    schedule = _make_schedule(train_opt, niter, base_lr)
     optimizer = optax.adam(schedule, b1=train_opt.get("beta1", 0.9),
                            b2=train_opt.get("beta2", 0.99))
     opt_state = optimizer.init(model.params)

@@ -57,3 +57,51 @@ def test_srflow_train_cli(tiny_conf, tmp_path, monkeypatch):
     # resume picks up the newest checkpoint
     monkeypatch.setattr(sys, "argv", ["srflow_train.py", tiny_conf, "--niter", "4"])
     srflow_train.main()
+
+
+@pytest.fixture()
+def tiny_sr_conf(tmp_path):
+    rng = np.random.default_rng(1)
+    hrs = [(rng.random((32, 32, 3)) * 255).astype(np.uint8) for _ in range(6)]
+    lqs = [(rng.random((8, 8, 3)) * 255).astype(np.uint8) for _ in range(6)]
+    gt_p = str(tmp_path / "gt.pklv4")
+    lq_p = str(tmp_path / "lq.pklv4")
+    with open(gt_p, "wb") as f:
+        pickle.dump(hrs, f)
+    with open(lq_p, "wb") as f:
+        pickle.dump(lqs, f)
+    conf = {
+        "name": "sr_smoke",
+        "model": "sr",
+        "scale": 4,
+        "datasets": {"train": {"mode": "LRHR_PKL", "dataroot_GT": gt_p,
+                               "dataroot_LQ": lq_p, "batch_size": 2,
+                               "n_workers": 1}},
+        "network_G": {"which_model_G": "RRDBNet", "in_nc": 3, "out_nc": 3,
+                      "nf": 8, "nb": 1, "gc": 4},
+        "path": {"resume_state": "auto"},
+        "train": {"lr_G": 1e-4, "beta1": 0.9, "beta2": 0.99,
+                  "lr_scheme": "CosineAnnealingLR_Restart",
+                  "T_period": [2, 2], "restarts": [2], "restart_weights": [1],
+                  "pixel_criterion": "cb", "pixel_weight": 1.0, "niter": 3},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 2},
+    }
+    conf_path = str(tmp_path / "sr_conf.yml")
+    with open(conf_path, "w") as f:
+        yaml.dump(conf, f)
+    return conf_path
+
+
+def test_sr_train_cli(tiny_sr_conf, tmp_path, monkeypatch):
+    """SRModel path (F13): model: sr conf trains an upsampling RRDB with
+    CharbonnierLoss + cosine-restart schedule, checkpoints, and resumes."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import srflow_train
+
+    monkeypatch.setattr(sys, "argv", ["srflow_train.py", tiny_sr_conf])
+    srflow_train.main()
+    assert os.path.exists(os.path.join("save", "sr_smoke", "G_latest.ckpt"))
+    monkeypatch.setattr(sys, "argv", ["srflow_train.py", tiny_sr_conf,
+                                      "--niter", "4"])
+    srflow_train.main()
