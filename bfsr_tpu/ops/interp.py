@@ -91,6 +91,47 @@ def grid_sample_bilinear(x, coord, padding_mode="border"):
     )
 
 
+def grid_sample_bilinear_separable(x, coord_y, coord_x, padding_mode="border",
+                                   precision=None):
+    """Bilinear grid sample for REGULAR grids as two dense matmuls.
+
+    Numerically equivalent to ``grid_sample_bilinear`` when
+    coord[b,i,j,0] == coord_y[b,i] and coord[b,i,j,1] == coord_x[b,j]
+    (every make_coord-derived grid).  Gathers run far below streaming
+    bandwidth on this chip; the 2-tap axis interpolation expressed as
+    (Hg,H) @ x @ (W,Wg) rides the MXU instead.
+
+    x: (B,H,W,C); coord_y: (B,Hg); coord_x: (B,Wg).  B must be 1 (the
+    eval paths' batch size) or the grids identical across batch.
+    """
+    B, H, W, C = x.shape
+    prec = precision or jax.lax.Precision.HIGHEST
+
+    def axis_matrix(coord, n):
+        f = _unnormalize(coord[0], n)
+        if padding_mode == "border":
+            f = jnp.clip(f, 0.0, n - 1.0)
+        i0 = jnp.floor(f)
+        w1 = f - i0
+        i0 = i0.astype(jnp.int32)
+        i1 = i0 + 1
+        if padding_mode == "zeros":
+            v0 = ((i0 >= 0) & (i0 < n)).astype(jnp.float32)
+            v1 = ((i1 >= 0) & (i1 < n)).astype(jnp.float32)
+        else:
+            v0 = v1 = 1.0
+        i0c = jnp.clip(i0, 0, n - 1)
+        i1c = jnp.clip(i1, 0, n - 1)
+        m = (jax.nn.one_hot(i0c, n, dtype=jnp.float32) * ((1.0 - w1) * v0)[:, None]
+             + jax.nn.one_hot(i1c, n, dtype=jnp.float32) * (w1 * v1)[:, None])
+        return m  # (out, n)
+
+    my = axis_matrix(coord_y, H)  # (Hg, H)
+    mx = axis_matrix(coord_x, W)  # (Wg, W)
+    rows = jnp.einsum("gh,bhwc->bgwc", my, x, precision=prec)
+    return jnp.einsum("kw,bgwc->bgkc", mx, rows, precision=prec)
+
+
 def _resize_axis_weights(in_size, out_size, align_corners):
     """Per-output (i0, i1, w1) for 1-D linear resize, torch semantics."""
     out_idx = jnp.arange(out_size, dtype=jnp.float32)

@@ -150,9 +150,12 @@ class LINFPredictor:
 
         res = res_t.transpose(1, 0, 2, 3, 4).reshape(B, Hp, W, d)[:, :H]
         if model.patch_size == 1:
-            from bfsr_tpu.ops.interp import grid_sample_bilinear
+            from bfsr_tpu.ops.interp import grid_sample_bilinear_separable
 
-            return res + grid_sample_bilinear(inp, coord, padding_mode="border")
+            lr_up = grid_sample_bilinear_separable(
+                inp, coord[:, :, 0, 0], coord[:, 0, :, 1],
+                padding_mode="border")
+            return res + lr_up
         return model._fold(res)
 
     def _predict_pallas(self, linf_params, prior_params, inp, coord, cell,
@@ -164,7 +167,7 @@ class LINFPredictor:
         from bfsr_tpu.ops import nn as fnn
         from bfsr_tpu.ops.pallas.linf_flow import flow_forward_cm, flow_inverse_cm
         from bfsr_tpu.ops.pallas.linf_info import fused_affine_info_cm, T_R
-        from bfsr_tpu.ops.interp import grid_sample_bilinear
+        from bfsr_tpu.ops.interp import grid_sample_bilinear_separable
 
         model = self.model
         imnet = linf_params["imnet"]
@@ -204,7 +207,9 @@ class LINFPredictor:
                                      info_cm)
 
         res = res_cm[:3].T.reshape(1, Hp8, Wp, 3)[:, :H, :W]
-        return res + grid_sample_bilinear(inp, coord, padding_mode="border")
+        lr_up = grid_sample_bilinear_separable(
+            inp, coord[:, :, 0, 0], coord[:, 0, :, 1], padding_mode="border")
+        return res + lr_up
 
     def predict(self, linf_params, prior_params, inp, coord, cell, gt_lr_up=None,
                 temperature=0.0, key=None):

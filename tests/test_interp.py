@@ -88,3 +88,22 @@ def test_grid_sample_nearest_matches_torch(rng):
         F.grid_sample(torch.from_numpy(x), tg, mode="nearest", padding_mode="zeros", align_corners=False)
     )
     np.testing.assert_allclose(ours, theirs, atol=0)
+
+
+def test_grid_sample_bilinear_separable_matches_gather(rng):
+    """MXU-matmul separable grid sample == gather version on regular grids
+    (border and zeros modes, incl. out-of-range coords)."""
+    import jax.numpy as jnp
+
+    from bfsr_tpu.ops.interp import (grid_sample_bilinear,
+                                     grid_sample_bilinear_separable)
+
+    x = jnp.asarray(rng.random((1, 7, 9, 3)).astype(np.float32))
+    cy = jnp.asarray(np.linspace(-1.3, 1.3, 20, dtype=np.float32))[None]
+    cx = jnp.asarray(np.linspace(-1.2, 1.1, 17, dtype=np.float32))[None]
+    coord = jnp.stack(jnp.meshgrid(cy[0], cx[0], indexing="ij"), -1)[None]
+    for mode in ("border", "zeros"):
+        ref = grid_sample_bilinear(x, coord, padding_mode=mode)
+        out = grid_sample_bilinear_separable(x, cy, cx, padding_mode=mode)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
