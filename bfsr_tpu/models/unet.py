@@ -148,6 +148,93 @@ def unet_apply(params, z, lr, depth=3, training=False):
     return logits
 
 
+def unet_apply_fused(params, z, lr, depth=3):
+    """Inference-only UNet forward with the 512^2-resolution stages running
+    as fused space-to-depth Pallas convs (ops/pallas/s2d_conv.py): the
+    dense input projection, the inc DoubleConv, and the final up
+    DoubleConv dominate the prior's latency at <=64 output channels where
+    XLA's conv wastes most of the MXU.  Mid-resolution stages (>=128
+    channels) stay on XLA convs, which already run near peak there.
+
+    Numerics: 3-pass bf16 matmuls == XLA Precision.HIGH.  Requires even
+    H/W and B=1; callers fall back to ``unet_apply`` otherwise.
+    """
+    from bfsr_tpu.ops.pallas.conv3x3 import fold_bn
+    from bfsr_tpu.ops.pallas import s2d_conv as s2d
+
+    B, H, W, _ = z.shape
+    assert B == 1 and H % 2 == 0 and W % 2 == 0
+
+    def dense5c_s2d(xs_blocks, block_sizes, p):
+        blocks = list(xs_blocks)
+        sizes = list(block_sizes)
+        for i in range(1, 6):
+            cp = p[f"conv{i}"]
+            w_blocks = s2d.s2d_weight(cp["w"], cin_split=sizes)
+            out = s2d.conv3x3_s2d(blocks, w_blocks, bias=cp["b"],
+                                  act="lrelu" if i < 5 else None)
+            cout = cp["w"].shape[-1]
+            blocks = blocks + [out]
+            sizes = sizes + [cout]
+        return blocks[-1]
+
+    def double_conv_s2d(xs_blocks, block_sizes, p):
+        w1 = s2d.s2d_weight(p["conv1"]["w"], cin_split=list(block_sizes))
+        s1, b1 = fold_bn(p["conv1"], p["bn1"])
+        h = s2d.conv3x3_s2d(list(xs_blocks), w1, scale=s1, bias=b1, act="lrelu")
+        w2 = s2d.s2d_weight(p["conv2"]["w"])
+        s2_, b2 = fold_bn(p["conv2"], p["bn2"])
+        return s2d.conv3x3_s2d([h], w2, scale=s2_, bias=b2, act="lrelu")
+
+    # input projection + LR embedding (s2d for the 512^2 dense block)
+    zs = s2d.space_to_depth(z)
+    in_chans = z.shape[-1]
+    proj_s2d = dense5c_s2d([zs], [in_chans], params["input_proj"])
+
+    lr_embed = fnn.conv2d(lr, params["lr_proj_conv"], stride=3, padding=1)
+    lr_embed = fnn.leaky_relu(lr_embed)
+    lr_embed = dense_block5c(lr_embed, params["lr_proj_dense"])
+    if lr_embed.shape[1:3] != z.shape[1:3]:
+        lr_embed = resize_bilinear(lr_embed, z.shape[1:3], align_corners=False)
+    lr_s2d = s2d.space_to_depth(lr_embed)
+
+    dim2 = proj_s2d.shape[-1] // 4  # dim // 2
+
+    # inc DoubleConv on the implicit concat [proj, lr_embed]
+    inc_s2d = double_conv_s2d([proj_s2d, lr_s2d], [dim2, dim2], params["inc"])
+    inc_dim = inc_s2d.shape[-1] // 4
+
+    # down path (XLA: >=128 channels after the first pool)
+    feats = [None]  # feats[0] stays in s2d for the final up stage
+    x = s2d.maxpool2x2_from_s2d(inc_s2d, inc_dim)
+    bn_updates = {}
+    for i, dp in enumerate(params["down"]):
+        if i > 0:
+            x = fnn.max_pool2d(x, 2)
+        x = double_conv(x, dp, False, bn_updates, ("down", i))
+        feats.append(x)
+
+    # up path: all but the last stage on XLA
+    for i in range(depth - 1):
+        up = params["up"][i]
+        skip = feats[depth - 1 - i]
+        x = _up_merge(x, skip, up, False, bn_updates, ("up", i))
+
+    # final up stage at the full resolution: s2d fused (same resize-then-pad
+    # semantics as _up_merge)
+    x_up = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),
+                           align_corners=True)
+    dh = H - x_up.shape[1]
+    dw = W - x_up.shape[2]
+    x_up = jnp.pad(x_up, ((0, 0), (dh // 2, dh - dh // 2),
+                          (dw // 2, dw - dw // 2), (0, 0)))
+    x_s2d = s2d.space_to_depth(x_up)
+    out_s2d = double_conv_s2d([inc_s2d, x_s2d], [inc_dim, x_up.shape[-1]],
+                              params["up"][depth - 1])
+    out = s2d.depth_to_space(out_s2d)
+    return fnn.conv2d(out, params["outc"])
+
+
 def apply_bn_updates(params, bn_updates, momentum=0.1):
     """Fold observed batch stats into running stats (torch momentum)."""
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy

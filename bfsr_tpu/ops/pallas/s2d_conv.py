@@ -1,0 +1,213 @@
+"""Space-to-depth 3x3 convolution kernel (the UNet's 512^2 conv engine).
+
+XLA's NHWC conv on this chip runs at 3-17 TF/s for the <=64-channel 3x3
+layers that dominate the prior UNet (reference: LINF-LP/models/unet.py) —
+output channels <=64 waste most of the MXU's 128 output lanes, and the
+dense block's channel concats add relayout traffic.  This kernel instead
+computes the conv in the 2x2 space-to-depth domain:
+
+* a 3x3 stride-1 SAME conv at (H, W, C) is exactly a 3x3 SAME conv at
+  (H/2, W/2, 4C) whose weight carries the phase structure — output
+  channels become 4*Cout (>=128 for Cout>=32): full MXU output width,
+* inputs are a LIST of phase-major s2d tensors (a channel concat in the
+  original domain) — each is DMA'd once per tile and contracted with its
+  own weight block: no concat materialization at all,
+* f32 accuracy via the explicit 3-pass bf16 split (hi@hi + hi@lo + lo@hi,
+  == XLA Precision.HIGH; Mosaic has no native HIGH), ``passes=1`` gives
+  the DEFAULT-precision serving mode,
+* per-channel scale/bias (folded BatchNorm + conv bias) and
+  LeakyReLU/ReLU fuse into the output write.
+
+B=1, f32.  H and W must be even (the UNet runs at the HR resolution).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def space_to_depth(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), phase-major: c' = (2*py+px)*C + c."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def depth_to_space(y):
+    """Inverse of :func:`space_to_depth`."""
+    B, Hs, Ws, C4 = y.shape
+    C = C4 // 4
+    y = y.reshape(B, Hs, Ws, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, Hs * 2, Ws * 2, C)
+
+
+def _phase_map():
+    """Constant (9, 4, 4, 3, 3) binary map: s2d tap t=(ry,rx), in phase
+    p=(py,px), out phase q=(a,b) carries orig tap (dy, dx) =
+    (2ry+py-a, 2rx+px-b) when both lie in [-1, 1]; ~9/16 of the s2d
+    weight is structurally zero."""
+    m = np.zeros((9, 4, 4, 3, 3), np.float32)
+    for a in range(2):
+        for b in range(2):
+            q = a * 2 + b
+            for py in range(2):
+                for px in range(2):
+                    p = py * 2 + px
+                    for ry in (-1, 0, 1):
+                        for rx in (-1, 0, 1):
+                            dy = 2 * ry + py - a
+                            dx = 2 * rx + px - b
+                            if -1 <= dy <= 1 and -1 <= dx <= 1:
+                                m[(ry + 1) * 3 + rx + 1, p, q,
+                                  dy + 1, dx + 1] = 1.0
+    return m
+
+
+_PHASE_MAP = _phase_map()
+
+
+def s2d_weight(w, cin_split=None):
+    """Transform (3, 3, Cin, Cout) conv weights into the s2d domain.
+
+    Returns a list of (9, 4*Ci, 4*Cout) f32 arrays, one per input block in
+    ``cin_split`` (default: one block of Cin).  Tap order: (dy*3+dx) over
+    the s2d-domain 3x3 kernel; channels phase-major (p*Ci+c / q*Cout+co).
+    Pure jnp (a constant-map einsum) so it traces under jit.
+    """
+    kh, kw, cin, cout = w.shape
+    assert kh == 3 and kw == 3
+    cin_split = list(cin_split) if cin_split is not None else [cin]
+    assert sum(cin_split) == cin
+    ws = jnp.einsum("yxco,tpqyx->tpcqo", w.astype(jnp.float32),
+                    jnp.asarray(_PHASE_MAP))  # (9, 4, Cin, 4, Cout)
+    outs = []
+    off = 0
+    for ci in cin_split:
+        blk = ws[:, :, off:off + ci].reshape(9, 4 * ci, 4 * cout)
+        outs.append(blk)
+        off += ci
+    return outs
+
+
+def _kernel(n_in, T, Wc, m, act, slope, passes, *refs):
+    """refs: in_refs*n (HBM) | wh*n | wl*n | sb | out_ref | wins*n | sems."""
+    in_refs = refs[:n_in]
+    wh = refs[n_in:2 * n_in]
+    wl = refs[2 * n_in:3 * n_in]
+    sb = refs[3 * n_in]
+    out_ref = refs[3 * n_in + 1]
+    wins = refs[3 * n_in + 2:3 * n_in + 2 + n_in]
+    sems = refs[-1]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # col windows are 8-aligned (sublane tiling): inputs are padded 8 cols
+    # on each side, the true left halo sits at col offset 7 in the window
+    copies = []
+    for k in range(n_in):
+        c = pltpu.make_async_copy(
+            in_refs[k].at[pl.ds(i * T, T + 2), pl.ds(j * Wc, Wc + 16), :],
+            wins[k], sems.at[k])
+        c.start()
+        copies.append(c)
+
+    acc = jnp.zeros((T * Wc, m), jnp.float32)
+    for k in range(n_in):
+        copies[k].wait()
+        win = wins[k][:, :, :]  # (T+2, Wc+16, Ci)
+        ci = win.shape[-1]
+        for t in range(9):
+            dy, dx = t // 3, t % 3
+            v = win[dy:dy + T, 7 + dx:7 + dx + Wc, :].reshape(T * Wc, ci)
+            vh = v.astype(jnp.bfloat16)
+            acc += jnp.dot(vh, wh[k][t], preferred_element_type=jnp.float32)
+            if passes == 3:
+                vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc += jnp.dot(vh, wl[k][t], preferred_element_type=jnp.float32)
+                acc += jnp.dot(vl, wh[k][t], preferred_element_type=jnp.float32)
+
+    y = acc * sb[0] + sb[1]
+    if act == "lrelu":
+        y = jnp.where(y >= 0, y, y * slope)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    out_ref[:, :, :] = y.reshape(T, Wc, m)
+
+
+def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
+                passes=3, interpret=False):
+    """Fused 3x3 SAME conv over an implicit channel-concat of ``inputs``.
+
+    inputs: list of (1, Hs, Ws, 4*Ci) phase-major s2d tensors (f32).
+    weights: list of (9, 4*Ci, 4*Cout) from :func:`s2d_weight`.
+    scale/bias: (Cout,) per-ORIGINAL-channel affine folded into the output
+    (BN + conv bias); act: None | 'relu' | 'lrelu'.
+    Returns (1, Hs, Ws, 4*Cout) phase-major s2d, f32.
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
+    n_in = len(inputs)
+    Hs, Ws = inputs[0].shape[1], inputs[0].shape[2]
+    m = weights[0].shape[-1]
+    cout = m // 4
+    if scale is None:
+        scale = jnp.ones((cout,), jnp.float32)
+    if bias is None:
+        bias = jnp.zeros((cout,), jnp.float32)
+    sb = jnp.stack([jnp.tile(scale, 4), jnp.tile(bias, 4)]).astype(jnp.float32)
+
+    # tile: T rows x Wc cols; keep the window set + weights within VMEM
+    Wc = Ws if Ws <= 512 else 256
+    while Ws % Wc:
+        Wc -= 1
+    cin_tot = sum(-(-x.shape[-1] // 128) * 128 for x in inputs)
+    win_bytes_per_row = (Wc + 16) * cin_tot * 4
+    T = 8
+    # windows + double-buffered out + f32 acc + matmul temps (~1.3 margin)
+    while T > 1 and int(1.3 * ((T + 2) * win_bytes_per_row
+                               + 3 * T * Wc * m * 4)) > 10 * 1024 * 1024:
+        T //= 2
+    while Hs % T:
+        T -= 1
+    grid = (Hs // T, Ws // Wc)
+
+    # DMA slices must be 128-aligned in the last dim (CLAUDE.md / Mosaic):
+    # zero-pad small channel counts (and the matching weight rows)
+    padded, weights_p = [], []
+    for x, w in zip(inputs, weights):
+        c = x.shape[-1]
+        cp = -(-c // 128) * 128
+        padded.append(jnp.pad(x[0], ((1, 1), (8, 8), (0, cp - c))))
+        weights_p.append(jnp.pad(w, ((0, 0), (0, cp - c), (0, 0))))
+    wh = [w.astype(jnp.bfloat16) for w in weights_p]
+    wl = [(w - w.astype(jnp.bfloat16).astype(jnp.float32)).astype(jnp.bfloat16)
+          for w in weights_p]
+
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * n_in
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_in + 1))
+    scratch = [pltpu.VMEM((T + 2, Wc + 16, x.shape[-1]), jnp.float32)
+               for x in padded]
+    scratch.append(pltpu.SemaphoreType.DMA((n_in,)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_in, T, Wc, m, act, slope, passes),
+        out_shape=jax.ShapeDtypeStruct((Hs, Ws, m), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, Wc, m), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*padded, *wh, *wl, sb)
+    return out[None]
+
+
+def maxpool2x2_from_s2d(xs, cout):
+    """2x2 stride-2 maxpool of the ORIGINAL tensor, computed directly from
+    its phase-major s2d form: the max over the 4 phases.  Returns NHWC
+    (1, Hs, Ws, cout)."""
+    B, Hs, Ws, _ = xs.shape
+    return jnp.max(xs.reshape(B, Hs, Ws, 4, cout), axis=3)

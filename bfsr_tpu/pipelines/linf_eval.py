@@ -158,6 +158,18 @@ class LINFPredictor:
             return res + lr_up
         return model._fold(res)
 
+    def _apply_prior(self, prior_params, z_map, inp):
+        """Prior UNet forward; the fused s2d-Pallas inference path when the
+        model/geometry supports it (UNet prior, even H/W, B=1)."""
+        from bfsr_tpu.models.unet import UNet, unet_apply_fused
+
+        if (self.use_pallas and isinstance(self.prior, UNet)
+                and z_map.shape[0] == 1
+                and z_map.shape[1] % 2 == 0 and z_map.shape[2] % 2 == 0):
+            return unet_apply_fused(prior_params, z_map, inp,
+                                    depth=self.prior.depth)
+        return self.prior.apply(prior_params, z_map, inp)
+
     def _predict_pallas(self, linf_params, prior_params, inp, coord, cell,
                         gt_lr_up, temperature, key, use_prior, sample, feat,
                         cy_t, coord_x, H, W, Hp, T, n_tiles):
@@ -194,7 +206,7 @@ class LINFPredictor:
         if use_prior:
             z_cm = flow_forward_cm(imnet, to_cm8(gt_lr_up), info_cm)
             z_map = z_cm[:3].T.reshape(1, Hp8, Wp, 3)[:, :H, :W]
-            z_learned = self.prior.apply(prior_params, z_map, inp)
+            z_learned = self._apply_prior(prior_params, z_map, inp)
             if z_learned.shape[1:3] != z_map.shape[1:3]:
                 z_learned = resize_bilinear(z_learned, z_map.shape[1:3])
             res_cm = flow_inverse_cm(imnet, to_cm8(z_learned), info_cm)
