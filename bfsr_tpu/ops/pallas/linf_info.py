@@ -12,10 +12,9 @@ from the LR-resolution coef/freq maps:
 * Fourier basis (cos/sin), area weighting, and the MLP all run in VMEM per
   tile; only the final (64, H, W) channel-major info leaves the chip.
 
-Tiling: T_R=8 HR rows x WT=128 HR cols per grid step; the DMA window is
-R_MAX=12 LR rows x CW=384 LR cols (covers any upscale factor >= 1 plus the
-128-alignment rounding of the column base) — VMEM-bounded regardless of
-image size.
+Tiling: up to 32 HR rows x 128/256 HR cols per grid step; the LR DMA
+window covers tr/scale (+3) rows x up to 512 cols (128-aligned base) —
+VMEM-bounded regardless of image size.
 
 Feed the output (reshaped (64, H*W)) to ``linf_flow.flow_forward_cm`` /
 ``flow_inverse_cm``.
@@ -29,15 +28,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_R = 8       # HR rows per tile
+T_R = 8       # HR row quantum (predictor pads H to a multiple of this)
+_MAX_TR = 16  # HR rows per tile (large: amortizes the LR-window DMA, which
+              # otherwise re-reads the same rows for every small row tile)
 WT = 128      # HR col-tile quantum (predictor pads W to a multiple of this)
-# (wt, cw, r_max, min_scale) tile configs: bigger tiles when W allows —
-# fewer DMA re-reads and larger matmuls; cw covers wt/s + 2 + <=127 base
-# rounding, r_max covers ceil(T_R/s) + 2
-_CONFIGS = ((256, 512, 8, 1.5), (128, 384, 12, 0.8))
+# (wt, cw, min_scale) col-tile configs: bigger tiles when W allows — fewer
+# DMA re-reads and larger matmuls; cw covers wt/s + 2 + <=127 base rounding
+_CONFIGS = ((256, 512, 1.5), (128, 384, 0.8))
 
 
-def _kernel(hidden, n_hidden, cw, r_max,
+def _sincos_pi(f):
+    """(cos(pi*f), sin(pi*f)) via explicit range reduction + Taylor on
+    [-pi/2, pi/2].  The VPU's transcendental sequence costs ~29 cycles per
+    element (measured: trig is ~4 ms of this kernel at 512^2); this shared
+    reduction + polynomial pair costs ~11 each.  Max abs error ~1e-7."""
+    k = jnp.round(f)
+    r = f - k  # [-0.5, 0.5]
+    kh = k * 0.5
+    sign = 1.0 - 4.0 * (kh - jnp.floor(kh))  # (-1)^k
+    x = r * math.pi
+    z = x * x
+    # cos x = sum_i (-1)^i z^i / (2i)!, Horner from i=7
+    _COS = [-1.0 / 87178291200.0, 1.0 / 479001600.0, -1.0 / 3628800.0,
+            1.0 / 40320.0, -1.0 / 720.0, 1.0 / 24.0, -0.5, 1.0]
+    c = _COS[0]
+    for a in _COS[1:]:
+        c = c * z + a
+    # sin x = x * sum_i (-1)^i z^i / (2i+1)!, Horner from i=6
+    _SIN = [1.0 / 6227020800.0, -1.0 / 39916800.0, 1.0 / 362880.0,
+            -1.0 / 5040.0, 1.0 / 120.0, -1.0 / 6.0, 1.0]
+    s = _SIN[0]
+    for a in _SIN[1:]:
+        s = s * z + a
+    s = s * x
+    return sign * c, sign * s
+
+
+def _kernel(hidden, n_hidden, cw, r_max, tr,
             row_start_ref, col_base_ref, iy_m_ref, iy_p_ref,
             rel_y_m_ref, rel_y_p_ref,
             coef_ref, freq_ref, pxm_ref, pxp_ref, relxm_ref, relxp_ref,
@@ -68,8 +95,8 @@ def _kernel(hidden, n_hidden, cw, r_max,
     pxm = pxm_ref[0]  # (CW, WT)
     pxp = pxp_ref[0]
 
-    for r in range(T_R):
-        hr_row = t * T_R + r
+    for r in range(tr):
+        hr_row = t * tr + r
         iy_m = iy_m_ref[hr_row] - row_start
         iy_p = iy_p_ref[hr_row] - row_start
         ry_m = rel_y_m_ref[hr_row]
@@ -99,9 +126,8 @@ def _kernel(hidden, n_hidden, cw, r_max,
         acc = None
         for i, (coef_c, freq_c, ry, rx) in enumerate(combos):
             f = freq_c[:half] * ry + freq_c[half:] * rx[None, :] + phase
-            basis = jnp.concatenate(
-                [jnp.cos(math.pi * f), jnp.sin(math.pi * f)], axis=0
-            )
+            cf, sf = _sincos_pi(f)
+            basis = jnp.concatenate([cf, sf], axis=0)
             piece = (weights[i][None, :] * coef_c) * basis  # (C, WT)
             term = jnp.dot(w1t_ref[i], piece, preferred_element_type=jnp.float32)
             acc = term if acc is None else acc + term
@@ -137,15 +163,21 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     W = coord_x.shape[0]
     assert H % T_R == 0 and W % WT == 0, (H, W)
     scale_est = min(H / h, W / w)
-    wt, cw, r_max = next(
-        (c[0], c[1], c[2]) for c in _CONFIGS
-        if W % c[0] == 0 and scale_est >= c[3]
+    wt, cw = next(
+        (c[0], c[1]) for c in _CONFIGS
+        if W % c[0] == 0 and scale_est >= c[2]
     )
+    tr = min(_MAX_TR, H)
+    while H % tr:
+        tr -= T_R
+    # LR row window: tr HR rows span <= tr/scale LR rows (+2 for the
+    # corner shifts, +1 rounding)
+    r_max = int(math.ceil(tr / max(scale_est, 0.8))) + 3
     # the DMA window never needs to exceed the (128-padded) LR extent
     w128 = -(-w // 128) * 128
     cw = min(cw, w128)
-    r_max = min(r_max, max(h, T_R))
-    n_rows = H // T_R
+    r_max = min(r_max, max(h, 4))
+    n_rows = H // tr
     n_cols = W // wt
 
     rx = 1.0 / h
@@ -172,7 +204,7 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
                       ((0, h_pad_rows), (0, 0), (0, w_pad - w)))
 
     # per-row-tile LR row-window starts (iy monotonic on regular grids)
-    row_start = jnp.clip(iy_m.reshape(n_rows, T_R)[:, 0], 0,
+    row_start = jnp.clip(iy_m.reshape(n_rows, tr)[:, 0], 0,
                          max(h + h_pad_rows - r_max, 0))
     # per-col-tile LR col-window bases, 128-aligned for the DMA
     first_ix = ix_m.reshape(n_cols, wt)[:, 0]
@@ -224,7 +256,7 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b4
         ],
-        out_specs=pl.BlockSpec((64, T_R, wt), lambda t, c, *_: (0, t, c),
+        out_specs=pl.BlockSpec((64, tr, wt), lambda t, c, *_: (0, t, c),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((r_max, C, cw), jnp.float32),
@@ -234,7 +266,7 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, C, n_hidden, cw, r_max),
+        functools.partial(_kernel, C, n_hidden, cw, r_max, tr),
         out_shape=jax.ShapeDtypeStruct((64, H, W), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
