@@ -79,6 +79,70 @@ def run_tpu_bench():
     return mps, dt
 
 
+def run_multichip_bench(dp=None):
+    """dp-sharded eval throughput over whatever devices exist: one image
+    per device, batch sharded over a 1-D 'dp' mesh (SURVEY §5.8).  On a
+    pod slice this needs zero new code; on one chip it degenerates to
+    dp=1.  Returns (aggregate MP/s, per-device MP/s, n_devices)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _flagship
+    from bfsr_tpu.parallel.mesh import make_mesh, replicate
+    from bfsr_tpu.pipelines.linf_eval import LINFPredictor
+    from bfsr_tpu.utils.coords import make_coord_np, make_cell
+
+    n_dev = len(jax.devices())
+    dp = dp or n_dev
+    mesh = make_mesh({"dp": dp})
+
+    model, prior = _flagship()
+    predictor = LINFPredictor(model, prior, tile_queries=65536,
+                              use_pallas=False)  # XLA path batches over dp
+
+    rng = np.random.default_rng(0)
+    h = w = LR_SIZE
+    H, W = h * SCALE, w * SCALE
+    B = dp
+    inp = rng.random((B, h, w, 3)).astype(np.float32)
+    gt_lr_up = (rng.random((B, H, W, 3)) - 0.5).astype(np.float32)
+    coord = np.broadcast_to(make_coord_np((H, W), flatten=False)[None],
+                            (B, H, W, 2)).copy()
+    cell = np.broadcast_to(make_cell((H, W))[None], (B, 2)).copy()
+
+    import jax
+
+    with mesh:
+        sh = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))  # noqa: E731
+        inp_s = sh(inp, P("dp"))
+        gt_s = sh(gt_lr_up, P("dp"))
+        coord_s = sh(coord, P("dp"))
+        cell_s = sh(cell, P("dp"))
+        lp = replicate(model.params, mesh)
+        pp = replicate(prior.params, mesh)
+
+        def once():
+            return predictor.predict(lp, pp, inp_s, coord_s, cell_s, gt_s)
+
+        out = once()
+        # scaling evidence: the output must stay dp-sharded (each device
+        # holds exactly B/dp images — no hidden gather)
+        shard_batches = {s.data.shape[0] for s in out.addressable_shards}
+        assert shard_batches == {B // dp}, shard_batches
+
+        for _ in range(WARMUP):
+            np.asarray(out[0, 0, 0, 0])
+            out = once()
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = once()
+        np.asarray(out[0, 0, 0, 0])
+        dt = (time.perf_counter() - t0) / ITERS
+    mps = B * H * W / dt / 1e6
+    return mps, mps / dp, n_dev
+
+
 def measure_torch_baseline():
     """Time the reference PyTorch pipeline (CPU, .cuda() no-op) on the same
     workload.  Requires the read-only reference mount."""
@@ -152,7 +216,22 @@ def measure_torch_baseline():
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--measure-baseline", action="store_true")
+    parser.add_argument("--multichip", action="store_true",
+                        help="dp-sharded throughput over all devices "
+                             "(pod-slice ready; dp=1 on a single chip)")
+    parser.add_argument("--dp", type=int, default=None)
     args = parser.parse_args()
+
+    if args.multichip:
+        mps, per_dev, n_dev = run_multichip_bench(args.dp)
+        print(json.dumps({
+            "metric": "linf_lp_4x_sr_throughput_multichip",
+            "value": round(mps, 3),
+            "unit": "MP/s",
+            "per_device": round(per_dev, 3),
+            "n_devices": n_dev,
+        }))
+        return
 
     if args.measure_baseline:
         mps, dt = measure_torch_baseline()

@@ -89,3 +89,35 @@ def test_dp_train_step_matches_single(rng):
         # cross-device psum reduction order perturbs gradients ~1e-7, which
         # Adam's rsqrt amplifies on near-zero second moments
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-3)
+
+
+def test_dp_sharded_eval_per_device_work_scales(rng):
+    """dp-sharded batch eval (bench.py --multichip shape): every device
+    holds exactly B/dp images end-to-end — the output stays dp-sharded
+    (no hidden gather), and matches the unsharded prediction."""
+    m = small_linf()
+    prior = registry.make({"name": "unet", "args": {"in_chans": 3, "depth": 2,
+                                                    "dim": 16}})
+    h, w, s = 6, 8, 2
+    H, W = h * s, w * s
+    B = 8
+    inp = jnp.asarray(rng.random((B, h, w, 3)).astype(np.float32))
+    gt = jnp.asarray((rng.random((B, H, W, 3)) - 0.5).astype(np.float32))
+    coord = jnp.asarray(np.broadcast_to(
+        make_coord_np((H, W), flatten=False)[None], (B, H, W, 2)).copy())
+    cell = jnp.asarray(np.broadcast_to(make_cell((H, W))[None], (B, 2)).copy())
+
+    predictor = LINFPredictor(m, prior, tile_queries=H * W, use_pallas=False)
+    ref = predictor.predict(m.params, prior.params, inp, coord, cell, gt)
+
+    mesh = make_mesh({"dp": 8})
+    with mesh:
+        sh = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))  # noqa: E731
+        out = predictor.predict(
+            replicate(m.params, mesh), replicate(prior.params, mesh),
+            sh(inp, P("dp")), sh(coord, P("dp")), sh(cell, P("dp")),
+            sh(gt, P("dp")))
+        shard_batches = {sd.data.shape[0] for sd in out.addressable_shards}
+        assert shard_batches == {B // 8}, shard_batches
+        assert len(list(out.addressable_shards)) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
