@@ -79,6 +79,52 @@ def run_tpu_bench():
     return mps, dt
 
 
+def run_patch_bench():
+    """Patch-model (ps=3, d=27) learned-prior throughput: LR 128x128 ->
+    HR 516x516 (172x172 patch-center queries), fused Pallas path."""
+    import jax.numpy as jnp
+
+    from bfsr_tpu import registry
+    import bfsr_tpu.models  # noqa: F401
+    from bfsr_tpu.pipelines.linf_eval import LINFPredictor
+    from bfsr_tpu.utils.coords import make_coord_np, make_cell
+
+    model = registry.make({"name": "linf-patch", "args": {
+        "encoder_spec": {"name": "edsr-baseline", "args": {"no_upsampling": True}},
+        "imnet_spec": {"name": "flow", "args": {"name": "flow"}},
+        "flow_layers": 10, "num_layer": 3, "hidden_dim": 256, "patch_size": 3}})
+    model.params["imnet"]["w"] = (model.params["imnet"]["w"] * 0.05
+                                  + jnp.eye(27)[None])
+    model.freeze()
+    prior = registry.make({"name": "unet", "args": {"in_chans": 27, "depth": 3,
+                                                    "dim": 64, "bilinear": True}})
+    predictor = LINFPredictor(model, prior, tile_queries=65536)
+
+    rng = np.random.default_rng(0)
+    h = w = LR_SIZE
+    Hq = Wq = 172  # patch centers; HR = 516^2
+    inp = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32))
+    gt = jnp.asarray((rng.random((1, Hq, Wq, 27)) - 0.5).astype(np.float32))
+    coord = jnp.asarray(make_coord_np((Hq, Wq), flatten=False)[None])
+    cell = jnp.asarray(make_cell((Hq * 3, Wq * 3))[None])
+
+    def once():
+        return predictor.predict(model.params, prior.params, inp, coord, cell, gt)
+
+    def sync(out):
+        np.asarray(out[0, 0, 0, 0])
+
+    for _ in range(WARMUP):
+        sync(once())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(ITERS):
+        out = once()
+    sync(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    return (Hq * 3) * (Wq * 3) / dt / 1e6, dt
+
+
 def run_multichip_bench(dp=None):
     """dp-sharded eval throughput over whatever devices exist: one image
     per device, batch sharded over a 1-D 'dp' mesh (SURVEY §5.8).  On a
@@ -220,7 +266,19 @@ def main():
                         help="dp-sharded throughput over all devices "
                              "(pod-slice ready; dp=1 on a single chip)")
     parser.add_argument("--dp", type=int, default=None)
+    parser.add_argument("--patch", action="store_true",
+                        help="patch-model (ps=3) throughput line")
     args = parser.parse_args()
+
+    if args.patch:
+        mps, dt = run_patch_bench()
+        print(json.dumps({
+            "metric": "linf_lp_patch3_4x_sr_throughput",
+            "value": round(mps, 3),
+            "unit": "MP/s/chip",
+            "sec_per_516x516_image": round(dt, 4),
+        }))
+        return
 
     if args.multichip:
         mps, per_dev, n_dev = run_multichip_bench(args.dp)

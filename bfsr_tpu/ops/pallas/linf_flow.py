@@ -63,12 +63,76 @@ def _forward_kernel(n_layers, w_ref, b_ref, x_ref, info_ref, out_ref):
         out_ref[c, :] = z[c]
 
 
+def _inverse_kernel_nd(n_layers, d, w_inv_ref, b_ref, z_ref, info_ref, out_ref):
+    """Generic-d inverse (patch model, d = 3*ps^2): channel-major 2-D
+    blocks, per-layer (d, d) @ (d, TILE) matmuls on the MXU."""
+    x = z_ref[:d, :]
+    x = jnp.dot(w_inv_ref[n_layers], x - b_ref[n_layers][:d, :],
+                preferred_element_type=jnp.float32)
+    for i in range(n_layers - 1, -1, -1):
+        base = i * 2 * d
+        scale = jax.nn.sigmoid(info_ref[base:base + d, :] + 2.0) + AFFINE_EPS
+        shift = info_ref[base + d:base + 2 * d, :]
+        x = (x - shift) / scale
+        x = jnp.dot(w_inv_ref[i], x - b_ref[i][:d, :],
+                    preferred_element_type=jnp.float32)
+    out_ref[:d, :] = x
+
+
+def _forward_kernel_nd(n_layers, d, w_ref, b_ref, x_ref, info_ref, out_ref):
+    z = x_ref[:d, :]
+    for i in range(n_layers):
+        z = jnp.dot(w_ref[i], z, preferred_element_type=jnp.float32) \
+            + b_ref[i][:d, :]
+        base = i * 2 * d
+        scale = jax.nn.sigmoid(info_ref[base:base + d, :] + 2.0) + AFFINE_EPS
+        shift = info_ref[base + d:base + 2 * d, :]
+        z = z * scale + shift
+    z = jnp.dot(w_ref[n_layers], z, preferred_element_type=jnp.float32) \
+        + b_ref[n_layers][:d, :]
+    out_ref[:d, :] = z
+
+
+def cm_rows(d):
+    """Channel-major row count for dimension d (sublane-aligned)."""
+    return -(-d // 8) * 8
+
+
 def _run(kernel, weights, b, z_cm, info_cm, n_layers, interpret=False):
-    """z_cm: (8, N) channel-major padded; info_cm: (64, N)."""
+    """z_cm: (rows, N) channel-major padded; info_cm: (info_rows, N)."""
     # Mosaic kernels need real TPU hardware; elsewhere fall back to the
     # interpreter so the same code path stays testable on CPU.
     interpret = interpret or jax.default_backend() != "tpu"
     n = z_cm.shape[1]
+    rows = z_cm.shape[0]
+    info_rows = info_cm.shape[0]
+    d = weights.shape[-1]
+    # generic-d path: weights as (L+1, d, d) VMEM matmul operands with
+    # column-broadcast biases; d=3 keeps the tuned scalar-SMEM kernels
+    if d != 3:
+        kernel = _inverse_kernel_nd if kernel is _inverse_kernel else _forward_kernel_nd
+        b2 = jnp.broadcast_to(b[:, :, None], (*b.shape, 1)).astype(jnp.float32)
+        tile = max(512, TILE_N // max(1, (d * d) // 64))
+        grid = (pl.cdiv(n, tile),)
+        return pl.pallas_call(
+            functools.partial(kernel, n_layers, d),
+            out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # biases
+                    pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((info_rows, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(weights, b2, z_cm, info_cm)
     grid = (pl.cdiv(n, TILE_N),)  # ragged last block handled by pallas
     return pl.pallas_call(
         functools.partial(kernel, n_layers),
@@ -118,28 +182,32 @@ def flow_forward_cm(params, x_cm, info_cm, interpret=False):
 
 
 def flow_inverse(params, z, affine_info, interpret=False):
-    """Pallas twin of pointwise_flow.inverse for d=3 with cached inverses.
+    """Pallas twin of pointwise_flow.inverse with cached inverses.
 
-    z: (N, 3); affine_info: (N, 6*n_layers).  Returns (N, 3).
+    z: (N, d); affine_info: (N, 2*d*n_layers).  Returns (N, d).  d=3 runs
+    the tuned scalar kernels; other d (patch model, 3*ps^2) the generic
+    matmul kernels.
     """
     n_layers = params["w"].shape[0] - 1
-    assert params["w"].shape[-1] == 3, "pallas kernel is pixel-model (d=3) only"
+    d = params["w"].shape[-1]
     assert "w_inv" in params, "flow_inverse requires cached inverses (freeze())"
-    z_cm, n = _to_cm(z.astype(jnp.float32), 8)
-    info_cm, _ = _to_cm(affine_info.astype(jnp.float32), 64)
+    z_cm, n = _to_cm(z.astype(jnp.float32), cm_rows(d) if d != 3 else 8)
+    info_cm, _ = _to_cm(affine_info.astype(jnp.float32),
+                        cm_rows(2 * d * n_layers) if d != 3 else 64)
     out = _run(_inverse_kernel, params["w_inv"].astype(jnp.float32),
                params["b"].astype(jnp.float32), z_cm, info_cm, n_layers,
                interpret)
-    return out[:3, :n].T
+    return out[:d, :n].T
 
 
 def flow_forward(params, x, affine_info, interpret=False):
     """Pallas twin of pointwise_flow.forward (z only, no log-prob)."""
     n_layers = params["w"].shape[0] - 1
-    assert params["w"].shape[-1] == 3
-    x_cm, n = _to_cm(x.astype(jnp.float32), 8)
-    info_cm, _ = _to_cm(affine_info.astype(jnp.float32), 64)
+    d = params["w"].shape[-1]
+    x_cm, n = _to_cm(x.astype(jnp.float32), cm_rows(d) if d != 3 else 8)
+    info_cm, _ = _to_cm(affine_info.astype(jnp.float32),
+                        cm_rows(2 * d * n_layers) if d != 3 else 64)
     out = _run(_forward_kernel, params["w"].astype(jnp.float32),
                params["b"].astype(jnp.float32), x_cm, info_cm, n_layers,
                interpret)
-    return out[:3, :n].T
+    return out[:d, :n].T

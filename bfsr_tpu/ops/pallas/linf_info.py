@@ -10,13 +10,14 @@ from the LR-resolution coef/freq maps:
 * the 4-corner column expansion is an MXU matmul against per-tile one-hot
   column-selection matrices,
 * Fourier basis (cos/sin), area weighting, and the MLP all run in VMEM per
-  tile; only the final (64, H, W) channel-major info leaves the chip.
+  tile; only the final channel-major info (rows = out_dim padded to 8)
+  leaves the chip.
 
 Tiling: up to 32 HR rows x 128/256 HR cols per grid step; the LR DMA
 window covers tr/scale (+3) rows x up to 512 cols (128-aligned base) —
 VMEM-bounded regardless of image size.
 
-Feed the output (reshaped (64, H*W)) to ``linf_flow.flow_forward_cm`` /
+Feed the output (reshaped (rows, H*W)) to ``linf_flow.flow_forward_cm`` /
 ``flow_inverse_cm``.
 """
 
@@ -148,7 +149,9 @@ def _nearest_index_vec(coord, n):
 
 def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
                          hidden_dim, interpret=False):
-    """Compute channel-major (64, H*W) affine info for a regular grid.
+    """Compute channel-major (rows_out, H*W) affine info for a regular
+    grid (rows_out = the MLP's output dim padded to a multiple of 8; 64
+    for the pixel model, 544 for the ps=3 patch model).
 
     coef/freq: (1, h, w, C) conv outputs; coord_y: (H,), coord_x: (W,)
     (1-D, batch stripped); cell: (1, 2).  H must be a multiple of T_R and
@@ -163,6 +166,8 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     W = coord_x.shape[0]
     assert H % T_R == 0 and W % WT == 0, (H, W)
     scale_est = min(H / h, W / w)
+    out_dim_early = params["mlp"][-1]["w"].shape[-1]
+    rows_out_early = max(-(-out_dim_early // 8) * 8, 8)
     wt, cw = next(
         (c[0], c[1]) for c in _CONFIGS
         if W % c[0] == 0 and scale_est >= c[2]
@@ -170,6 +175,14 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     tr = min(_MAX_TR, H)
     while H % tr:
         tr -= T_R
+    # VMEM cap on the (rows_out, tr, wt) output block (double-buffered):
+    # shrink the tile for wide-info models (patch: rows_out=544)
+    while tr > T_R and rows_out_early * tr * wt * 4 * 2 > 6 * 1024 * 1024:
+        tr -= T_R
+    if W % 128 == 0:
+        while wt > 128 and rows_out_early * tr * wt * 4 * 2 > 6 * 1024 * 1024:
+            wt //= 2
+            cw = max(cw // 2, 384)
     # LR row window: tr HR rows span <= tr/scale LR rows (+2 for the
     # corner shifts, +1 rounding)
     r_max = int(math.ceil(tr / max(scale_est, 0.8))) + 3
@@ -231,8 +244,10 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     else:
         wht = jnp.zeros((1, C, C), jnp.float32)
         bh = jnp.zeros((1, C, 1), jnp.float32)
-    w4 = jnp.pad(mlp[-1]["w"], ((0, 0), (0, 64 - mlp[-1]["w"].shape[-1])))
-    b4 = jnp.pad(mlp[-1]["b"], (0, 64 - mlp[-1]["b"].shape[0]))
+    out_dim = mlp[-1]["w"].shape[-1]
+    rows_out = max(-(-out_dim // 8) * 8, 8)
+    w4 = jnp.pad(mlp[-1]["w"], ((0, 0), (0, rows_out - out_dim)))
+    b4 = jnp.pad(mlp[-1]["b"], (0, rows_out - out_dim))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -256,7 +271,7 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bh
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b4
         ],
-        out_specs=pl.BlockSpec((64, tr, wt), lambda t, c, *_: (0, t, c),
+        out_specs=pl.BlockSpec((rows_out, tr, wt), lambda t, c, *_: (0, t, c),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((r_max, C, cw), jnp.float32),
@@ -267,7 +282,7 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
 
     out = pl.pallas_call(
         functools.partial(_kernel, C, n_hidden, cw, r_max, tr),
-        out_shape=jax.ShapeDtypeStruct((64, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows_out, H, W), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
@@ -278,4 +293,4 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
         w1t, wht, w4.T,
         mlp[0]["b"][:, None], bh, b4[:, None],
     )
-    return out.reshape(64, H * W)
+    return out.reshape(rows_out, H * W)

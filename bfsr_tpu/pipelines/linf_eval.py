@@ -93,7 +93,7 @@ class LINFPredictor:
             return linf_affine_info_grid(linf_params, feat, cy_tile, coord_x,
                                          cell, model.hidden_dim)
 
-        if self.use_pallas and B == 1 and d == 3:
+        if self.use_pallas and B == 1:
             return self._predict_pallas(linf_params, prior_params, inp, coord,
                                         cell, gt_lr_up, temperature, key,
                                         use_prior, sample, feat, cy_t, coord_x,
@@ -183,7 +183,11 @@ class LINFPredictor:
 
         model = self.model
         imnet = linf_params["imnet"]
+        d = model.dim
+        from bfsr_tpu.ops.pallas.linf_flow import cm_rows
         from bfsr_tpu.ops.pallas.linf_info import WT
+
+        rows = cm_rows(d) if d != 3 else 8
 
         # pad HR rows/cols to the fused kernel's tile sizes
         Hp8 = -(-H // T_R) * T_R
@@ -195,30 +199,32 @@ class LINFPredictor:
         coef = fnn.conv2d(feat, linf_params["coef"])
         freq = fnn.conv2d(feat, linf_params["freq"])
         info_cm = fused_affine_info_cm(linf_params, coef, freq, coord_y,
-                                       coord_x, cell, model.hidden_dim)  # (64, n)
+                                       coord_x, cell, model.hidden_dim)
 
-        def to_cm8(img):  # (1, H*, W*, 3) -> (8, n) with H/W padding
+        def to_cm(img):  # (1, H*, W*, d) -> (rows, n) with H/W padding
             img = jnp.pad(img, ((0, 0), (0, Hp8 - img.shape[1]),
                                 (0, Wp - img.shape[2]), (0, 0)))
-            x = img.reshape(n, 3).T
-            return jnp.pad(x, ((0, 5), (0, 0)))
+            x = img.reshape(n, d).T
+            return jnp.pad(x, ((0, rows - d), (0, 0)))
 
         if use_prior:
-            z_cm = flow_forward_cm(imnet, to_cm8(gt_lr_up), info_cm)
-            z_map = z_cm[:3].T.reshape(1, Hp8, Wp, 3)[:, :H, :W]
+            z_cm = flow_forward_cm(imnet, to_cm(gt_lr_up), info_cm)
+            z_map = z_cm[:d].T.reshape(1, Hp8, Wp, d)[:, :H, :W]
             z_learned = self._apply_prior(prior_params, z_map, inp)
             if z_learned.shape[1:3] != z_map.shape[1:3]:
                 z_learned = resize_bilinear(z_learned, z_map.shape[1:3])
-            res_cm = flow_inverse_cm(imnet, to_cm8(z_learned), info_cm)
+            res_cm = flow_inverse_cm(imnet, to_cm(z_learned), info_cm)
         elif sample:
-            z_cm = jnp.pad(jax.random.normal(key, (3, n)) * temperature,
-                           ((0, 5), (0, 0)))
+            z_cm = jnp.pad(jax.random.normal(key, (d, n)) * temperature,
+                           ((0, rows - d), (0, 0)))
             res_cm = flow_inverse_cm(imnet, z_cm, info_cm)
         else:
-            res_cm = flow_inverse_cm(imnet, jnp.zeros((8, n), jnp.float32),
+            res_cm = flow_inverse_cm(imnet, jnp.zeros((rows, n), jnp.float32),
                                      info_cm)
 
-        res = res_cm[:3].T.reshape(1, Hp8, Wp, 3)[:, :H, :W]
+        res = res_cm[:d].T.reshape(1, Hp8, Wp, d)[:, :H, :W]
+        if model.patch_size != 1:
+            return model._fold(res)
         lr_up = grid_sample_bilinear_separable(
             inp, coord[:, :, 0, 0], coord[:, 0, :, 1], padding_mode="border")
         return res + lr_up
