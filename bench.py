@@ -189,6 +189,105 @@ def run_multichip_bench(dp=None):
     return mps, mps / dp, n_dev
 
 
+_SRFLOW_ARGS = {"in_nc": 3, "out_nc": 3, "nf": 64, "nb": 23, "scale": 4,
+                "K": 16, "L": 3, "hidden_channels": 64, "additional_steps": 2,
+                "split_enable": True, "stack_blocks": (1, 8, 15, 22),
+                "stack_concat": True, "fea_up0": True}
+
+
+def run_srflow_bench():
+    """SRFlow-LP learned-prior pipeline (full size: nb=23, 2x54 flow steps,
+    two-branch prior), LR 128x128 -> HR 512x512, single chip."""
+    import jax.numpy as jnp
+
+    import bfsr_tpu.models  # noqa: F401
+    from bfsr_tpu import registry
+    from bfsr_tpu.pipelines.srflow_eval import SRFlowLPPredictor
+
+    model = registry.make({"name": "srflow", "args": dict(_SRFLOW_ARGS)}).freeze()
+    prior = registry.make({"name": "srflow-unet", "args": {"depth": 3, "dim": 64}})
+    predictor = SRFlowLPPredictor(model, prior)
+
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.random((1, LR_SIZE, LR_SIZE, 3)).astype(np.float32))
+
+    def once():
+        return predictor._fn(model.params, prior.params, lr)
+
+    def sync(out):
+        np.asarray(out[0, 0, 0, 0])
+
+    for _ in range(WARMUP):
+        sync(once())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(ITERS):
+        out = once()
+    sync(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    H = LR_SIZE * SCALE
+    return H * H / dt / 1e6, dt
+
+
+def measure_srflow_torch_baseline():
+    """Reference SRFlow-LP pipeline (torch, CPU): encode -> standardize ->
+    two-branch prior -> decode on the identical LR 128x128 workload
+    (SRFlow-LP/code/test.py:126-148)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import torch
+    import torch.nn.functional as F
+
+    from ref_oracle import srflow_modules, reference_available
+
+    if not reference_available():
+        raise SystemExit("reference mount not available")
+    opt = {
+        "scale": 4,
+        "datasets": {"train": {"quant": 32}},
+        "network_G": {
+            "train_RRDB_delay": 0.5,
+            "flow": {"K": 16, "L": 3, "noInitialInj": True,
+                     "coupling": "CondAffineSeparatedAndCond",
+                     "additionalFlowNoAffine": 2, "split": {"enable": True},
+                     "fea_up0": True,
+                     "stackRRDB": {"blocks": [1, 8, 15, 22], "concat": True}},
+        },
+    }
+    with srflow_modules("models.modules.SRFlowNet_arch", "models.unet") as m:
+        torch.manual_seed(0)
+        net = m["models.modules.SRFlowNet_arch"].SRFlowNet(
+            in_nc=3, out_nc=3, nf=64, nb=23, gc=32, scale=4, K=16, opt=opt)
+        net.eval()
+        prior = m["models.unet"].UNet(depth=3, dim=64)
+        prior.eval()
+        rng = np.random.default_rng(0)
+        lr_t = torch.from_numpy(
+            rng.random((1, 3, LR_SIZE, LR_SIZE)).astype(np.float32))
+
+        def once():
+            with torch.no_grad():
+                lr_up = F.interpolate(lr_t, scale_factor=SCALE, mode="bilinear",
+                                      align_corners=False)
+                epses = []
+                net(gt=lr_up, lr=lr_t, reverse=False, epses=epses,
+                    add_gt_noise=False)
+                for i in range(len(epses)):
+                    mean = torch.mean(epses[i], dim=[1], keepdim=True)
+                    std = torch.std(epses[i], dim=[1], keepdim=True)
+                    epses[i] = (epses[i] - mean) / (std + 1e-8)
+                learned = prior(epses)
+                sr, _ = net(lr=lr_t, reverse=True, epses=learned, eps_std=0)
+                return sr
+
+        t0 = time.perf_counter()
+        once()
+        dt = time.perf_counter() - t0
+    H = LR_SIZE * SCALE
+    return H * H / dt / 1e6, dt
+
+
 def measure_torch_baseline():
     """Time the reference PyTorch pipeline (CPU, .cuda() no-op) on the same
     workload.  Requires the read-only reference mount."""
@@ -268,7 +367,38 @@ def main():
     parser.add_argument("--dp", type=int, default=None)
     parser.add_argument("--patch", action="store_true",
                         help="patch-model (ps=3) throughput line")
+    parser.add_argument("--srflow", action="store_true",
+                        help="SRFlow-LP pipeline throughput line")
+    parser.add_argument("--measure-srflow-baseline", action="store_true")
     args = parser.parse_args()
+
+    if args.measure_srflow_baseline:
+        mps, dt = measure_srflow_torch_baseline()
+        data = {}
+        if os.path.exists(BASELINE_FILE):
+            with open(BASELINE_FILE) as f:
+                data = json.load(f)
+        data["srflow_baseline_mps_cpu_torch"] = mps
+        data["srflow_baseline_sec_per_image"] = dt
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps({"srflow_baseline_mps": mps, "sec_per_image": dt}))
+        return
+
+    if args.srflow:
+        mps, dt = run_srflow_bench()
+        baseline = None
+        if os.path.exists(BASELINE_FILE):
+            with open(BASELINE_FILE) as f:
+                baseline = json.load(f).get("srflow_baseline_mps_cpu_torch")
+        print(json.dumps({
+            "metric": "srflow_lp_4x_sr_throughput",
+            "value": round(mps, 3),
+            "unit": "MP/s/chip",
+            "vs_baseline": round(mps / baseline, 2) if baseline else None,
+            "sec_per_512x512_image": round(dt, 4),
+        }))
+        return
 
     if args.patch:
         mps, dt = run_patch_bench()

@@ -119,16 +119,18 @@ def _step_reverse(x, p, ft, logdet, cond, ft_params=None):
 
 
 def precompute_ft(params, plan, conds):
-    """Per-step (scale_ft, shift_ft) feature branches.
+    """Per-step conditioning-only work: fFeatures (scale_ft, shift_ft) AND
+    the fAffine first-conv 320-channel ft contribution.
 
     These depend only on the RRDB conditioning, so one pass serves every
     encode AND decode call on the image — the reference recomputes the
-    fFeatures conv stack inside each of the 2 x 48 coupling evaluations
-    (FlowAffineCouplingsAblation.py:63,91)."""
+    fFeatures conv stack and the concat([z1, ft]) conv inside each of the
+    2 x 48 coupling evaluations (FlowAffineCouplingsAblation.py:63-92)."""
     out = []
     for entry, p in zip(plan, params["layers"]):
         if entry["kind"] == "step_cond":
-            out.append(flows.cond_affine_ft(conds[entry["level"]], p["affine"]))
+            out.append(flows.cond_affine_cache(conds[entry["level"]],
+                                               p["affine"]))
         else:
             out.append(None)
     return out

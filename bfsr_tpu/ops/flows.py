@@ -247,6 +247,36 @@ def cond_affine_ft(ft, p):
     return _scale_shift(flow_f(ft, p["fFeatures"]))
 
 
+def cond_affine_cache(ft, p):
+    """Everything in the coupling that depends only on the conditioning.
+
+    Beyond the fFeatures scale/shift, the fAffine tower's FIRST conv runs
+    over concat([z1, ft]) — by linearity it splits into a z1 part (a few
+    channels, cheap) and a 320-channel ft part that is constant per step
+    per image.  Precomputing the ft contribution removes the dominant
+    conv (and the concat materialization) from BOTH the encode and the
+    decode pass (FlowAffineCouplingsAblation.py:79,92 recompute it 2x48
+    times per image)."""
+    scale_ft, shift_ft = _scale_shift(flow_f(ft, p["fFeatures"]))
+    w = p["fAffine"]["conv1"]["w"]
+    c_ft = ft.shape[-1]
+    aff1_ft = fnn.conv2d(ft, {"w": w[:, :, w.shape[2] - c_ft:, :]})
+    return {"scale_ft": scale_ft, "shift_ft": shift_ft, "aff1_ft": aff1_ft}
+
+
+def flow_f_split(z1, p, aff1_ft):
+    """flow_f over an implicit concat([z1, ft]) with the ft contribution of
+    conv1 precomputed (``cond_affine_cache``): conv the z1 slice, add, then
+    the shared actnorm + the rest of the tower."""
+    w = p["conv1"]["w"]
+    c_nn = z1.shape[-1]
+    y = fnn.conv2d(z1, {"w": w[:, :, :c_nn, :]}) + aff1_ft
+    y, _ = actnorm(y, p["conv1"]["actnorm"])
+    h = fnn.relu(y)
+    h = fnn.relu(flow_conv(h, p["conv2"]))
+    return flow_conv_zeros(h, p["out"])
+
+
 def cond_affine(x, ft, p, logdet=None, reverse=False, ft_params=None):
     """Two-part conditional affine coupling
     (FlowAffineCouplingsAblation.py:57-97).
@@ -258,25 +288,38 @@ def cond_affine(x, ft, p, logdet=None, reverse=False, ft_params=None):
     """
     c = x.shape[-1]
     c_nn = c // 2
+    if isinstance(ft_params, dict):
+        scale_shift_ft = (ft_params["scale_ft"], ft_params["shift_ft"])
+
+        def faffine(z1):
+            return _scale_shift(flow_f_split(z1, p["fAffine"],
+                                             ft_params["aff1_ft"]))
+    else:
+        scale_shift_ft = ft_params
+
+        def faffine(z1):
+            return _scale_shift(flow_f(jnp.concatenate([z1, ft], -1),
+                                       p["fAffine"]))
+
     if not reverse:
-        scale_ft, shift_ft = (ft_params if ft_params is not None
+        scale_ft, shift_ft = (scale_shift_ft if scale_shift_ft is not None
                               else cond_affine_ft(ft, p))
         z = (x + shift_ft) * scale_ft
         if logdet is not None:
             logdet = logdet + _sum_log(scale_ft)
         z1, z2 = z[..., :c_nn], z[..., c_nn:]
-        scale, shift = _scale_shift(flow_f(jnp.concatenate([z1, ft], -1), p["fAffine"]))
+        scale, shift = faffine(z1)
         z2 = (z2 + shift) * scale
         if logdet is not None:
             logdet = logdet + _sum_log(scale)
         return jnp.concatenate([z1, z2], -1), logdet
     z1, z2 = x[..., :c_nn], x[..., c_nn:]
-    scale, shift = _scale_shift(flow_f(jnp.concatenate([z1, ft], -1), p["fAffine"]))
+    scale, shift = faffine(z1)
     z2 = z2 / scale - shift
     z = jnp.concatenate([z1, z2], -1)
     if logdet is not None:
         logdet = logdet - _sum_log(scale)
-    scale_ft, shift_ft = (ft_params if ft_params is not None
+    scale_ft, shift_ft = (scale_shift_ft if scale_shift_ft is not None
                           else cond_affine_ft(ft, p))
     z = z / scale_ft - shift_ft
     if logdet is not None:

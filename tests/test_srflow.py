@@ -89,3 +89,28 @@ def test_nll_logdet_changes_with_noise(rng):
     _, nll2, _ = m.normal_flow(m.params, gt, lr, key=jax.random.PRNGKey(1),
                                add_gt_noise=True)
     assert not np.allclose(np.asarray(nll1), np.asarray(nll2))
+
+
+def test_precompute_ft_cache_matches_uncached(rng):
+    """The per-image conditioning cache (fFeatures scale/shift + fAffine
+    first-conv ft split) must not change encode or decode outputs."""
+    m = small_srflow().freeze()
+    lr = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    lr_enc = m.preprocess(m.params, lr)
+    ft_cache = m.precompute_ft(m.params, lr_enc)
+
+    eps_ref, nll_ref, _ = m.normal_flow(m.params, gt, lr, add_gt_noise=False,
+                                        lr_enc=lr_enc)
+    eps_c, nll_c, _ = m.normal_flow(m.params, gt, lr, add_gt_noise=False,
+                                    lr_enc=lr_enc, ft_cache=ft_cache)
+    for a, b in zip(eps_ref, eps_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nll_c), np.asarray(nll_ref),
+                               rtol=1e-5)
+
+    sr_ref, _ = m.reverse_flow(m.params, lr, epses=eps_ref,
+                               add_gt_noise=False, lr_enc=lr_enc)
+    sr_c, _ = m.reverse_flow(m.params, lr, epses=eps_ref, add_gt_noise=False,
+                             lr_enc=lr_enc, ft_cache=ft_cache)
+    np.testing.assert_allclose(np.asarray(sr_c), np.asarray(sr_ref), atol=1e-5)
