@@ -37,18 +37,17 @@ ft_cache = ftc(params, lr_enc)
 print(f"precompute_ft:    {timeit(ftc, params, lr_enc):7.2f} ms")
 
 lr_up = resize_bilinear(lr, (512, 512))
-nf = jax.jit(lambda p, up, lr: model.normal_flow(p, up, lr, add_gt_noise=False,
-                                                 lr_enc=lr_enc, ft_cache=ft_cache))
-epses, _, _ = nf(params, lr_up, lr)
-print(f"normal_flow (enc):{timeit(nf, params, lr_up, lr):7.2f} ms")
+nf = jax.jit(lambda p, up, lr, enc, ftc: model.normal_flow(
+    p, up, lr, add_gt_noise=False, lr_enc=enc, ft_cache=ftc))
+epses, _, _ = nf(params, lr_up, lr, lr_enc, ft_cache)
+print(f"normal_flow (enc):{timeit(nf, params, lr_up, lr, lr_enc, ft_cache):7.2f} ms")
 
 epses_s = standardize_epses(epses)
 pr = jax.jit(lambda pp, e: prior.apply(pp, e))
 learned = pr(prior.params, epses_s)
 print(f"two-branch prior: {timeit(pr, prior.params, epses_s):7.2f} ms")
 
-rf = jax.jit(lambda p, lr, e: model.reverse_flow(p, lr, epses=e,
-                                                 add_gt_noise=False,
-                                                 lr_enc=lr_enc, ft_cache=ft_cache))
-sr, _ = rf(params, lr, learned)
-print(f"reverse_flow (dec):{timeit(rf, params, lr, learned):6.2f} ms")
+rf = jax.jit(lambda p, lr, e, enc, ftc: model.reverse_flow(
+    p, lr, epses=e, add_gt_noise=False, lr_enc=enc, ft_cache=ftc))
+sr, _ = rf(params, lr, learned, lr_enc, ft_cache)
+print(f"reverse_flow (dec):{timeit(rf, params, lr, learned, lr_enc, ft_cache):6.2f} ms")

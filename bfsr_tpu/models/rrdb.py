@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from bfsr_tpu.models.base import Model
 from bfsr_tpu.ops import nn as fnn
 from bfsr_tpu.ops.interp import resize_nearest, resize_bilinear
+from bfsr_tpu.ops.pallas import s2d_conv as s2d
 from bfsr_tpu.registry import register
 
 
@@ -43,6 +44,65 @@ def _rrdb_block(x, p):
     out = _dense_block(out, p["rdb2"])
     out = _dense_block(out, p["rdb3"])
     return out * 0.2 + x
+
+
+# -- space-to-depth Pallas trunk (B=1 TPU inference) -------------------------
+#
+# Every dense-block conv has <=64 output channels (gc=32 / nf=64): the
+# 3-17 TF/s narrow-conv regime on this chip.  conv3x3_s2d computes them in
+# the 2x2 space-to-depth domain (4*Cout >= 128 output lanes) and takes the
+# dense block's channel concats as free input lists.  The whole trunk stays
+# in the s2d layout; only the ends convert.
+
+
+def _dense_block_s2d(xs, p, interpret=False):
+    """xs: (1, Hs, Ws, 4nf) unpadded s2d.  Each produced tensor is
+    prepadded ONCE into the kernel layout (it feeds up to 4 later convs)."""
+    nf = p["conv1"]["w"].shape[2]
+    gc = p["conv1"]["w"].shape[3]
+
+    def conv(inputs, cp, k, act):
+        split = [nf] + [gc] * (k - 1)
+        w = s2d.s2d_weight(cp["w"], cin_split=split)
+        return s2d.conv3x3_s2d(inputs, w, bias=cp.get("b"), act=act,
+                               interpret=interpret)
+
+    xp = s2d.prepad(xs)
+    x1 = s2d.prepad(conv([xp], p["conv1"], 1, "lrelu"))
+    x2 = s2d.prepad(conv([xp, x1], p["conv2"], 2, "lrelu"))
+    x3 = s2d.prepad(conv([xp, x1, x2], p["conv3"], 3, "lrelu"))
+    x4 = conv([xp, x1, x2, x3], p["conv4"], 4, "lrelu")
+    x5 = conv([xp, x1, x2, x3, s2d.prepad(x4)], p["conv5"], 5, None)
+    return x5 * 0.2 + xs
+
+
+def _trunk_s2d(params, fea, interpret=False):
+    """fea (1, H, W, nf) -> last_lr_fea-style trunk output, s2d inside."""
+    xs = s2d.space_to_depth(fea)
+    t = xs
+    for blk in params["trunk"]:
+        o = _dense_block_s2d(t, blk["rdb1"], interpret)
+        o = _dense_block_s2d(o, blk["rdb2"], interpret)
+        o = _dense_block_s2d(o, blk["rdb3"], interpret)
+        t = o * 0.2 + t
+    w = s2d.s2d_weight(params["trunk_conv"]["w"])
+    trunk = s2d.conv3x3_s2d([t], w, bias=params["trunk_conv"].get("b"),
+                            interpret=interpret)
+    return s2d.depth_to_space(xs + trunk)
+
+
+def _use_s2d_trunk(x, fast):
+    # OPT-IN (fast=True): measured dead-even with XLA at 128^2 (56.8 ms
+    # both) — the trunk is at the ~4x narrow-conv floor either way (s2d
+    # pays 4x MACs at full lanes; XLA pays 4x lane waste at 32-out).
+    # Kept for the passes=1 serving mode and future tap-split work.
+    if fast is None:
+        fast = False
+    # tiny spatial extents fault Mosaic DMA on hardware (selfcheck's 4x4
+    # smoke shapes); real SRFlow/LINF LR inputs are >=64^2
+    return (fast and x.shape[0] == 1
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and x.shape[1] >= 32 and x.shape[2] >= 32)
 
 
 def init_rrdb(key, in_nc=3, out_nc=3, nf=64, nb=23, gc=32, scale=4, upsampling=True):
@@ -74,9 +134,11 @@ def init_rrdb(key, in_nc=3, out_nc=3, nf=64, nb=23, gc=32, scale=4, upsampling=T
     return p
 
 
-def rrdb_encode(params, x):
+def rrdb_encode(params, x, fast=None):
     """LINF encoder mode: trunk features only (rrdb.py:105-111)."""
     fea = fnn.conv2d(x, params["conv_first"])
+    if _use_s2d_trunk(x, fast):
+        return _trunk_s2d(params, fea)
     t = fea
     for blk in params["trunk"]:
         t = _rrdb_block(t, blk)
@@ -84,19 +146,35 @@ def rrdb_encode(params, x):
     return fea + trunk
 
 
-def rrdb_apply_steps(params, x, scale=4, block_idxs=(), fea_up0=False, fea_upm1=False):
+def rrdb_apply_steps(params, x, scale=4, block_idxs=(), fea_up0=False, fea_upm1=False,
+                     fast=None, interpret=False):
     """SRFlow conditioning mode: dict of per-block taps + fea_up* pyramid
     (RRDBNet_arch.py:89-148)."""
     lrelu = fnn.leaky_relu
     fea = fnn.conv2d(x, params["conv_first"])
     block_results = {}
-    t = fea
-    for idx, blk in enumerate(params["trunk"]):
-        t = _rrdb_block(t, blk)
-        if idx in block_idxs:
-            block_results[f"block_{idx}"] = t
-    trunk = fnn.conv2d(t, params["trunk_conv"])
-    last_lr_fea = fea + trunk
+    if interpret or _use_s2d_trunk(x, fast):
+        xs = s2d.space_to_depth(fea)
+        t = xs
+        for idx, blk in enumerate(params["trunk"]):
+            o = _dense_block_s2d(t, blk["rdb1"], interpret)
+            o = _dense_block_s2d(o, blk["rdb2"], interpret)
+            o = _dense_block_s2d(o, blk["rdb3"], interpret)
+            t = o * 0.2 + t
+            if idx in block_idxs:
+                block_results[f"block_{idx}"] = s2d.depth_to_space(t)
+        w = s2d.s2d_weight(params["trunk_conv"]["w"])
+        trunk_s = s2d.conv3x3_s2d([t], w, bias=params["trunk_conv"].get("b"),
+                                  interpret=interpret)
+        last_lr_fea = s2d.depth_to_space(xs + trunk_s)
+    else:
+        t = fea
+        for idx, blk in enumerate(params["trunk"]):
+            t = _rrdb_block(t, blk)
+            if idx in block_idxs:
+                block_results[f"block_{idx}"] = t
+        trunk = fnn.conv2d(t, params["trunk_conv"])
+        last_lr_fea = fea + trunk
 
     h, w = x.shape[1], x.shape[2]
     fea_up2 = fnn.conv2d(resize_nearest(last_lr_fea, (h * 2, w * 2)), params["upconv1"])

@@ -125,14 +125,19 @@ def precompute_ft(params, plan, conds):
     These depend only on the RRDB conditioning, so one pass serves every
     encode AND decode call on the image — the reference recomputes the
     fFeatures conv stack and the concat([z1, ft]) conv inside each of the
-    2 x 48 coupling evaluations (FlowAffineCouplingsAblation.py:63-92)."""
-    out = []
-    for entry, p in zip(plan, params["layers"]):
+    2 x 48 coupling evaluations (FlowAffineCouplingsAblation.py:63-92).
+    All K steps of a level batch into one wide conv over the conditioning
+    map (``flows.cond_affine_cache_batched``)."""
+    by_level = {}
+    for i, entry in enumerate(plan):
         if entry["kind"] == "step_cond":
-            out.append(flows.cond_affine_cache(conds[entry["level"]],
-                                               p["affine"]))
-        else:
-            out.append(None)
+            by_level.setdefault(entry["level"], []).append(i)
+    out = [None] * len(plan)
+    for lvl, idxs in by_level.items():
+        caches = flows.cond_affine_cache_batched(
+            conds[lvl], [params["layers"][i]["affine"] for i in idxs])
+        for i, c in zip(idxs, caches):
+            out[i] = c
     return out
 
 

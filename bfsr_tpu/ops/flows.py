@@ -264,6 +264,59 @@ def cond_affine_cache(ft, p):
     return {"scale_ft": scale_ft, "shift_ft": shift_ft, "aff1_ft": aff1_ft}
 
 
+def cond_affine_cache_batched(ft, ps):
+    """``cond_affine_cache`` for ALL K steps of a level in one pass.
+
+    The per-step caches each read the 320-channel conditioning map twice
+    (fFeatures.conv1 + the fAffine ft slice): K=16 steps re-read it 32
+    times and every conv is 64-out (3-17 TF/s on this chip, CLAUDE.md).
+    Concatenating the 2K weight stacks makes it ONE 320 -> 128K conv —
+    one read of ft, full MXU output width.  The per-step tails (actnorm,
+    1x1 conv, zero-init out conv) batch over a step axis: the 1x1s as a
+    step-batched matmul, the 3x3 out convs as one grouped conv.
+
+    ps: list of coupling params; returns a list of per-step cache dicts,
+    numerically equivalent to ``cond_affine_cache`` per step.
+    """
+    n = len(ps)
+    c_ft = ft.shape[-1]
+    hidden = ps[0]["fFeatures"]["conv1"]["w"].shape[-1]
+    w1 = jnp.concatenate(
+        [p["fFeatures"]["conv1"]["w"] for p in ps]
+        + [p["fAffine"]["conv1"]["w"][:, :, -c_ft:, :] for p in ps], axis=-1)
+    y = fnn.conv2d(ft, {"w": w1})  # (B, h, w, 2*n*hidden)
+    ff1, aff1 = y[..., : n * hidden], y[..., n * hidden:]
+
+    B, h, w = y.shape[:3]
+    z = ff1.reshape(B, h, w, n, hidden)
+    an1_b = jnp.stack([p["fFeatures"]["conv1"]["actnorm"]["bias"] for p in ps])
+    an1_s = jnp.stack([p["fFeatures"]["conv1"]["actnorm"]["logs"] for p in ps])
+    z = fnn.relu((z + an1_b) * jnp.exp(an1_s))
+    # conv2 is 1x1 (flow.py kernel_hidden=1): a step-batched matmul
+    w2 = jnp.stack([p["fFeatures"]["conv2"]["w"] for p in ps])
+    assert w2.shape[1] == 1 and w2.shape[2] == 1, "kernel_hidden != 1"
+    z = jnp.einsum("bhwnc,ncd->bhwnd", z, w2[:, 0, 0],
+                   preferred_element_type=jnp.float32,
+                   precision=fnn.default_precision())
+    an2_b = jnp.stack([p["fFeatures"]["conv2"]["actnorm"]["bias"] for p in ps])
+    an2_s = jnp.stack([p["fFeatures"]["conv2"]["actnorm"]["logs"] for p in ps])
+    z = fnn.relu((z + an2_b) * jnp.exp(an2_s))
+    # zero-init out convs (3x3, hidden -> 2C each); per-step lax convs —
+    # a single feature_group_count=n conv lowers ~5x slower on this chip
+    o = jnp.stack([fnn.conv2d(z[..., s, :], {"w": ps[s]["fFeatures"]["out"]["w"]})
+                   for s in range(n)], axis=-2)
+    bout = jnp.stack([p["fFeatures"]["out"]["b"] for p in ps])
+    lout = jnp.stack([p["fFeatures"]["out"]["logs"] for p in ps])
+    o = (o + bout) * jnp.exp(lout * 3.0)
+    shift, scale = o[..., 0::2], o[..., 1::2]  # split_feature 'cross'
+    scale = jax.nn.sigmoid(scale + 2.0) + AFFINE_EPS
+    return [
+        {"scale_ft": scale[..., s, :], "shift_ft": shift[..., s, :],
+         "aff1_ft": aff1[..., s * hidden:(s + 1) * hidden]}
+        for s in range(n)
+    ]
+
+
 def flow_f_split(z1, p, aff1_ft):
     """flow_f over an implicit concat([z1, ft]) with the ft contribution of
     conv1 precomputed (``cond_affine_cache``): conv the z1 slice, add, then

@@ -138,11 +138,25 @@ def _kernel(n_in, T, Wc, m, act, slope, passes, *refs):
     out_ref[:, :, :] = y.reshape(T, Wc, m)
 
 
+def prepad(x):
+    """(1, Hs, Ws, C) -> (Hs+2, Ws+16, Cp) kernel-layout array: 1-row halo,
+    8-col halo (sublane alignment), channels zero-padded to a multiple of
+    128 (DMA lane alignment).  Pass prepadded arrays to :func:`conv3x3_s2d`
+    when a tensor feeds several convs (the RRDB dense block reuses each
+    tensor up to 5x) — the pad copy then happens once per producer instead
+    of once per consumer."""
+    c = x.shape[-1]
+    cp = -(-c // 128) * 128
+    return jnp.pad(x[0], ((1, 1), (8, 8), (0, cp - c)))
+
+
 def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
                 passes=3, interpret=False):
     """Fused 3x3 SAME conv over an implicit channel-concat of ``inputs``.
 
-    inputs: list of (1, Hs, Ws, 4*Ci) phase-major s2d tensors (f32).
+    inputs: list of (1, Hs, Ws, 4*Ci) phase-major s2d tensors (f32), or
+    3-D (Hs+2, Ws+16, Cp) kernel-layout arrays from :func:`prepad` (the
+    two forms mix freely).
     weights: list of (9, 4*Ci, 4*Cout) from :func:`s2d_weight`.
     scale/bias: (Cout,) per-ORIGINAL-channel affine folded into the output
     (BN + conv bias); act: None | 'relu' | 'lrelu'.
@@ -150,7 +164,10 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
     """
     interpret = interpret or jax.default_backend() != "tpu"
     n_in = len(inputs)
-    Hs, Ws = inputs[0].shape[1], inputs[0].shape[2]
+    if inputs[0].ndim == 3:
+        Hs, Ws = inputs[0].shape[0] - 2, inputs[0].shape[1] - 16
+    else:
+        Hs, Ws = inputs[0].shape[1], inputs[0].shape[2]
     m = weights[0].shape[-1]
     cout = m // 4
     if scale is None:
@@ -163,7 +180,10 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
     Wc = Ws if Ws <= 512 else 256
     while Ws % Wc:
         Wc -= 1
-    cin_tot = sum(-(-x.shape[-1] // 128) * 128 for x in inputs)
+    def _cp(x):
+        return x.shape[-1] if x.ndim == 3 else -(-x.shape[-1] // 128) * 128
+
+    cin_tot = sum(_cp(x) for x in inputs)
     win_bytes_per_row = (Wc + 16) * cin_tot * 4
     T = 8
     # windows + double-buffered out + f32 acc + matmul temps (~1.3 margin)
@@ -178,10 +198,13 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
     # zero-pad small channel counts (and the matching weight rows)
     padded, weights_p = [], []
     for x, w in zip(inputs, weights):
-        c = x.shape[-1]
-        cp = -(-c // 128) * 128
-        padded.append(jnp.pad(x[0], ((1, 1), (8, 8), (0, cp - c))))
-        weights_p.append(jnp.pad(w, ((0, 0), (0, cp - c), (0, 0))))
+        if x.ndim == 3:
+            padded.append(x)
+            cp = x.shape[-1]
+        else:
+            cp = -(-x.shape[-1] // 128) * 128
+            padded.append(prepad(x))
+        weights_p.append(jnp.pad(w, ((0, 0), (0, cp - w.shape[1]), (0, 0))))
     wh = [w.astype(jnp.bfloat16) for w in weights_p]
     wl = [(w - w.astype(jnp.bfloat16).astype(jnp.float32)).astype(jnp.bfloat16)
           for w in weights_p]

@@ -153,3 +153,27 @@ def test_split2d_roundtrip(rng):
     x2, ld2, _ = split2d(z1, p, ld, ft=ft, reverse=True, eps=eps)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ld2), 0.0, atol=1e-3)
+
+
+def test_cond_affine_cache_batched_matches_per_step(rng):
+    """One-pass per-level cache == per-step cond_affine_cache."""
+    c, c_cond, n = 12, 10, 3
+    ps = []
+    for s in range(n):
+        p = init_cond_affine(key(20 + s), c, c_cond, hidden=8)
+        # randomize the zero-init out conv so scale/shift are non-trivial
+        p["fFeatures"]["out"]["w"] = jax.random.normal(
+            key(30 + s), p["fFeatures"]["out"]["w"].shape) * 0.1
+        p["fFeatures"]["out"]["b"] = jax.random.normal(
+            key(40 + s), p["fFeatures"]["out"]["b"].shape) * 0.1
+        p["fFeatures"]["out"]["logs"] = jax.random.normal(
+            key(50 + s), p["fFeatures"]["out"]["logs"].shape) * 0.1
+        ps.append(p)
+    ft = jnp.asarray(rng.random((2, 6, 5, c_cond)).astype(np.float32))
+    got = flows.cond_affine_cache_batched(ft, ps)
+    for s in range(n):
+        want = flows.cond_affine_cache(ft, ps[s])
+        for k in ("scale_ft", "shift_ft", "aff1_ft"):
+            np.testing.assert_allclose(np.asarray(got[s][k]),
+                                       np.asarray(want[k]),
+                                       atol=1e-5, rtol=1e-5, err_msg=f"{s}/{k}")

@@ -37,3 +37,21 @@ def test_conv3x3_with_conv_bias(rng):
     ref = fnn.conv2d(x, {"w": w, "b": b})
     out = conv3x3_fused(x, w, bias=b, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_rrdb_s2d_trunk_matches_jnp(rng):
+    """The space-to-depth Pallas RRDB trunk (SRFlow conditioning fast path)
+    == the plain jnp trunk, including block taps."""
+    from bfsr_tpu.models.rrdb import init_rrdb, rrdb_apply_steps
+
+    params = init_rrdb(jax.random.PRNGKey(3), nf=8, nb=2, gc=4, scale=4,
+                       upsampling=True)
+    x = jnp.asarray(rng.random((1, 8, 6, 3)).astype(np.float32))
+    ref = rrdb_apply_steps(params, x, scale=4, block_idxs=(0, 1), fea_up0=True,
+                           fast=False)
+    got = rrdb_apply_steps(params, x, scale=4, block_idxs=(0, 1), fea_up0=True,
+                           interpret=True)
+    assert set(ref) == set(got)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=3e-5, rtol=1e-4, err_msg=k)

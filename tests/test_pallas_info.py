@@ -37,7 +37,8 @@ def test_fused_info_matches_reference(rng):
                                   m.hidden_dim, interpret=True)
     got = np.asarray(out_cm)[: ref.shape[-1]].T.reshape(H, W, -1)
     np.testing.assert_allclose(got, np.asarray(ref)[0], atol=2e-4, rtol=1e-4)
-    assert out_cm.shape == (64, H * W)
+    rows_out = max(-(-ref.shape[-1] // 8) * 8, 8)
+    assert out_cm.shape == (rows_out, H * W)
 
 
 def test_fused_info_tall_lr(rng):
