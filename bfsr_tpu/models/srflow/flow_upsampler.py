@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from bfsr_tpu.ops import flows
+from bfsr_tpu.ops import flows_s2d as fs2d
 from bfsr_tpu.ops import nn as fnn
 
 LEVEL_NAMES = {
@@ -118,9 +119,11 @@ def _step_reverse(x, p, ft, logdet, cond, ft_params=None):
     return x, logdet
 
 
-def precompute_ft(params, plan, conds):
+def precompute_ft(params, plan, conds, lvl1_s2d=True, lvl1_parts=None):
     """Per-step conditioning-only work: fFeatures (scale_ft, shift_ft) AND
-    the fAffine first-conv 320-channel ft contribution.
+    the fAffine first-conv 320-channel ft contribution.  With
+    ``lvl1_s2d`` (default) the level-1 caches are stored in the
+    space-to-depth layout consumed by the fs2d fast path.
 
     These depend only on the RRDB conditioning, so one pass serves every
     encode AND decode call on the image — the reference recomputes the
@@ -133,12 +136,31 @@ def precompute_ft(params, plan, conds):
         if entry["kind"] == "step_cond":
             by_level.setdefault(entry["level"], []).append(i)
     out = [None] * len(plan)
+    lvl1_s2d = lvl1_s2d and any(e["level"] >= 2 for e in plan)
     for lvl, idxs in by_level.items():
-        caches = flows.cond_affine_cache_batched(
-            conds[lvl], [params["layers"][i]["affine"] for i in idxs])
+        step_ps = [params["layers"][i]["affine"] for i in idxs]
+        if lvl == 1 and lvl1_s2d and lvl1_parts is not None:
+            caches = fs2d.cond_affine_cache_batched_nearest(
+                lvl1_parts["base"], lvl1_parts["stack"],
+                lvl1_parts["upconv"], step_ps)
+        else:
+            caches = flows.cond_affine_cache_batched(conds[lvl], step_ps)
+            if lvl == 1 and lvl1_s2d:
+                caches = [fs2d.cache_to_s2d(c) for c in caches]
         for i, c in zip(idxs, caches):
             out[i] = c
     return out
+
+
+def _cache_lvl1_s2d(plan, ft_cache):
+    """s2d-ness is detected structurally (shape), never via a pytree leaf —
+    a boolean leaf would be traced under jit."""
+    if ft_cache is None:
+        return False
+    for entry, c in zip(plan, ft_cache):
+        if entry["kind"] == "step_cond" and entry["level"] == 1:
+            return bool(c) and c["scale_ft"].shape[-1] == 4 * entry["c"]
+    return False
 
 
 def encode(params, plan, gt, conds, logdet, ft_cache=None):
@@ -147,20 +169,39 @@ def encode(params, plan, gt, conds, logdet, ft_cache=None):
     Returns (epses list [eps0..., z_final], logdet).
     (FlowUpsamplerNet.encode, :217-251)
     """
+    lvl1_s2d = _cache_lvl1_s2d(plan, ft_cache)
     x = gt
+    in_s2d = False
     epses = []
     for i, (entry, p) in enumerate(zip(plan, params["layers"])):
         kind = entry["kind"]
         if kind == "squeeze":
-            x = flows.squeeze2d(x)
+            if lvl1_s2d and entry["level"] == 1:
+                x = fs2d.to_s2d(flows.squeeze2d(x))
+                in_s2d = True
+            elif in_s2d:
+                x = fs2d.squeeze_to_next_level(x)
+                in_s2d = False
+            else:
+                x = flows.squeeze2d(x)
         elif kind == "step_nc":
-            x, logdet = _step_forward(x, p, None, logdet, cond=False)
+            if in_s2d:
+                x, logdet = fs2d.step_forward(x, p, logdet, cond=False)
+            else:
+                x, logdet = _step_forward(x, p, None, logdet, cond=False)
         elif kind == "step_cond":
-            x, logdet = _step_forward(x, p, conds[entry["level"]], logdet,
-                                      cond=True,
-                                      ft_params=ft_cache[i] if ft_cache else None)
+            if in_s2d:
+                x, logdet = fs2d.step_forward(x, p, logdet, cond=True,
+                                              ft_params=ft_cache[i])
+            else:
+                x, logdet = _step_forward(x, p, conds[entry["level"]], logdet,
+                                          cond=True,
+                                          ft_params=ft_cache[i] if ft_cache else None)
         elif kind == "split":
-            x, logdet, eps = flows.split2d(x, p, logdet, ft=None)
+            if in_s2d:
+                x, logdet, eps = fs2d.split2d(x, p, logdet)
+            else:
+                x, logdet, eps = flows.split2d(x, p, logdet, ft=None)
             epses.append(eps)
     epses.append(x)
     return epses, logdet
@@ -170,30 +211,52 @@ def decode(params, plan, conds, logdet, z=None, epses=None, eps_std=None, key=No
            ft_cache=None):
     """Inverse pass; consumes epses back-to-front (z_final popped first).
     (FlowUpsamplerNet.decode, :267-303)"""
+    lvl1_s2d = _cache_lvl1_s2d(plan, ft_cache)
     if epses is not None:
         epses = list(epses)
         x = epses.pop()
     else:
         x = z
     n = len(plan)
+    in_s2d = False
     for ri, (entry, p) in enumerate(zip(reversed(plan), reversed(params["layers"]))):
         i = n - 1 - ri
         kind = entry["kind"]
         if kind == "squeeze":
-            x = flows.unsqueeze2d(x)
+            if lvl1_s2d and entry["level"] == 2:
+                # entering level 1: reinterpret instead of unsqueezing
+                x = fs2d.unsqueeze_from_next_level(x)
+                in_s2d = True
+            elif in_s2d:
+                x = flows.unsqueeze2d(fs2d.from_s2d(x))
+                in_s2d = False
+            else:
+                x = flows.unsqueeze2d(x)
         elif kind == "step_nc":
-            x, logdet = _step_reverse(x, p, None, logdet, cond=False)
+            if in_s2d:
+                x, logdet = fs2d.step_reverse(x, p, logdet, cond=False)
+            else:
+                x, logdet = _step_reverse(x, p, None, logdet, cond=False)
         elif kind == "step_cond":
-            x, logdet = _step_reverse(x, p, conds[entry["level"]], logdet,
-                                      cond=True,
-                                      ft_params=ft_cache[i] if ft_cache else None)
+            if in_s2d:
+                x, logdet = fs2d.step_reverse(x, p, logdet, cond=True,
+                                              ft_params=ft_cache[i])
+            else:
+                x, logdet = _step_reverse(x, p, conds[entry["level"]], logdet,
+                                          cond=True,
+                                          ft_params=ft_cache[i] if ft_cache else None)
         elif kind == "split":
             eps = epses.pop() if epses is not None else None
             if eps is None and key is not None:
                 key, sub = jax.random.split(key)
             else:
                 sub = None
-            x, logdet, _ = flows.split2d(
-                x, p, logdet, ft=None, reverse=True, eps=eps, eps_std=eps_std, key=sub
-            )
+            if in_s2d:
+                x, logdet, _ = fs2d.split2d(x, p, logdet, reverse=True,
+                                            eps=eps, eps_std=eps_std, key=sub)
+            else:
+                x, logdet, _ = flows.split2d(
+                    x, p, logdet, ft=None, reverse=True, eps=eps,
+                    eps_std=eps_std, key=sub
+                )
     return x, logdet

@@ -136,8 +136,26 @@ class SRFlowNet(Model):
 
     def precompute_ft(self, params, lr_enc):
         """One pass of the per-step feature-conditional branches, shared
-        by every encode/decode on this image (see fup.precompute_ft)."""
-        return fup.precompute_ft(params["flow"], self.plan, self._conds(lr_enc))
+        by every encode/decode on this image (see fup.precompute_ft).
+
+        For scale=4 with stacked-block concat, the level-1 conditioning
+        (fea_up2 + nearest-up stack) is phase-decomposed to base
+        resolution (fs2d.cond_affine_cache_batched_nearest)."""
+        return fup.precompute_ft(params["flow"], self.plan,
+                                 self._conds(lr_enc),
+                                 lvl1_parts=self._lvl1_parts(params, lr_enc))
+
+    def _lvl1_parts(self, params, lr_enc):
+        if not (self.scale == 4 and self.stack_concat and self.stack_blocks):
+            return None
+        nf = params["rrdb"]["upconv1"]["w"].shape[2]
+        base = lr_enc["last_lr_fea"][..., :nf]
+        if base.shape[1] < 2 or base.shape[2] < 2:
+            return None
+        stack = jnp.concatenate(
+            [lr_enc[f"block_{i}"] for i in self.stack_blocks], -1)
+        return {"base": base, "stack": stack,
+                "upconv": params["rrdb"]["upconv1"]}
 
     # -- wrapper-level helpers (SRFlow_model.py) --------------------------
 

@@ -177,3 +177,42 @@ def test_cond_affine_cache_batched_matches_per_step(rng):
             np.testing.assert_allclose(np.asarray(got[s][k]),
                                        np.asarray(want[k]),
                                        atol=1e-5, rtol=1e-5, err_msg=f"{s}/{k}")
+
+
+def test_cond_affine_cache_nearest_matches_reference(rng):
+    """Phase-domain level-1 cache (base-resolution convs + exact ring
+    patch) == the straightforward cache over the materialized 2x cond."""
+    from bfsr_tpu.ops import flows_s2d as fs2d
+    from bfsr_tpu.ops import nn as fnn
+    from bfsr_tpu.ops.interp import resize_nearest
+
+    c_base, c_stack, n = 6, 10, 3
+    h, w = 5, 4
+    base = jnp.asarray(rng.random((1, h, w, c_base)).astype(np.float32))
+    stack = jnp.asarray(rng.random((1, h, w, c_stack)).astype(np.float32))
+    upconv = {
+        "w": jnp.asarray((rng.random((3, 3, c_base, c_base)) - 0.5).astype(np.float32)),
+        "b": jnp.asarray(rng.random(c_base).astype(np.float32)),
+    }
+    c, c_cond = 12, c_base + c_stack
+    ps = []
+    for s in range(n):
+        p = init_cond_affine(key(60 + s), c, c_cond, hidden=8)
+        p["fFeatures"]["out"]["w"] = jax.random.normal(
+            key(70 + s), p["fFeatures"]["out"]["w"].shape) * 0.1
+        p["fFeatures"]["out"]["logs"] = jax.random.normal(
+            key(80 + s), p["fFeatures"]["out"]["logs"].shape) * 0.1
+        ps.append(p)
+
+    fea_up2 = fnn.conv2d(resize_nearest(base, (2 * h, 2 * w)), upconv)
+    cond = jnp.concatenate(
+        [fea_up2, resize_nearest(stack, (2 * h, 2 * w))], -1)
+    want = [fs2d.cache_to_s2d(c_)
+            for c_ in flows.cond_affine_cache_batched(cond, ps)]
+    got = fs2d.cond_affine_cache_batched_nearest(base, stack, upconv, ps)
+    for s in range(n):
+        for k in ("scale_ft", "shift_ft", "aff1_ft"):
+            np.testing.assert_allclose(np.asarray(got[s][k]),
+                                       np.asarray(want[s][k]),
+                                       atol=2e-5, rtol=1e-4,
+                                       err_msg=f"{s}/{k}")
