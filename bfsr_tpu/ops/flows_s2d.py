@@ -321,22 +321,45 @@ def cond_affine_cache_batched_nearest(base, stack, upconv, ps):
     left = conv_a(a_full[:, :, :4])[:, :, 0]    # (1, 2h, M) — HR col 0
     right = conv_a(a_full[:, :, -4:])[:, :, -1]  # HR col 2w-1
 
+    # lax.conv runs ~2x below the matmul rate at these tiny-spatial /
+    # huge-channel shapes: express the phase convs as im2col matmuls.
+    # All 4 composed-A phases share one im2col (same input taps).
+    m = w1.shape[-1]
+    hb, wb_ = base.shape[1], base.shape[2]
+    ka_all = jnp.concatenate(
+        [_composed_phase_kernel(wu, w_a, a, b).reshape(9 * c_a, m)
+         for a in (0, 1) for b in (0, 1)], axis=-1)  # (9ca, 4m)
+    pb_ = jnp.pad(base, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = jnp.concatenate(
+        [pb_[:, dy:dy + hb, dx:dx + wb_] for dy in range(3) for dx in range(3)],
+        axis=-1)
+    ya_all = jnp.einsum("bhwk,ko->bhwo", cols, ka_all,
+                        preferred_element_type=jnp.float32,
+                        precision=fnn.default_precision())
+    ps_ = jnp.pad(stack, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
     ys = []
-    for a in (0, 1):
-        for b in (0, 1):
-            ka = _composed_phase_kernel(wu, w_a, a, b)
-            ya = fnn.conv2d(base, {"w": ka}) + c0
-            # overwrite the border ring (composition is interior-exact only)
-            if a == 0:
-                ya = ya.at[:, 0].set(top[:, b::2])
-            else:
-                ya = ya.at[:, -1].set(bot[:, b::2])
-            if b == 0:
-                ya = ya.at[:, :, 0].set(left[:, a::2])
-            else:
-                ya = ya.at[:, :, -1].set(right[:, a::2])
-            yb = _phase_conv(stack, *_nearest_phase_kernels(w_b, a, b))
-            ys.append(ya + yb)
+    for q, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        ya = ya_all[..., q * m:(q + 1) * m] + c0
+        # overwrite the border ring (composition is interior-exact only)
+        if a == 0:
+            ya = ya.at[:, 0].set(top[:, b::2])
+        else:
+            ya = ya.at[:, -1].set(bot[:, b::2])
+        if b == 0:
+            ya = ya.at[:, :, 0].set(left[:, a::2])
+        else:
+            ya = ya.at[:, :, -1].set(right[:, a::2])
+        kb, (pad_y, pad_x) = _nearest_phase_kernels(w_b, a, b)
+        oy, ox = pad_y[1], pad_x[1]  # padding (1,0) <-> offset 0; (0,1) <-> 1
+        cols_b = jnp.concatenate(
+            [ps_[:, oy + u:oy + u + hb, ox + v:ox + v + wb_]
+             for u in range(2) for v in range(2)], axis=-1)
+        yb = jnp.einsum("bhwk,ko->bhwo", cols_b,
+                        kb.reshape(4 * stack.shape[-1], m),
+                        preferred_element_type=jnp.float32,
+                        precision=fnn.default_precision())
+        ys.append(ya + yb)
 
     # ---- per-step tails (fFeatures tower + cache assembly), s2d native
     hh = jnp.stack([y[..., : n * hid] for y in ys], axis=-2)  # (1,h,w,4,n*hid)
@@ -357,7 +380,10 @@ def cond_affine_cache_batched_nearest(base, stack, upconv, ps):
     for s in range(n):
         h_s2d = hh[..., s, :].reshape(B, h, w, 4 * hid)
         po = ps[s]["fFeatures"]["out"]
-        o = conv2d_s2d(h_s2d, po["w"], b=po["b"])
+        c2 = po["w"].shape[-1]
+        c2p = -(-c2 // 32) * 32  # pad to a 128-lane s2d output
+        o = conv2d_s2d(h_s2d, jnp.pad(po["w"], ((0, 0),) * 3 + ((0, c2p - c2),)))
+        o = _flat(_per_phase(o, c2p)[..., :c2]) + _tile(po["b"])
         o = o * jnp.exp(_tile(po["logs"]) * 3.0)
         scale_ft, shift_ft = _scale_shift(o)
         aff1 = jnp.concatenate(
