@@ -30,13 +30,54 @@ def _init_dense_block(key, nf, gc, gain=0.1):
 
 
 def _dense_block(x, p):
-    lrelu = fnn.leaky_relu
-    x1 = lrelu(fnn.conv2d(x, p["conv1"]))
-    x2 = lrelu(fnn.conv2d(jnp.concatenate([x, x1], -1), p["conv2"]))
-    x3 = lrelu(fnn.conv2d(jnp.concatenate([x, x1, x2], -1), p["conv3"]))
-    x4 = lrelu(fnn.conv2d(jnp.concatenate([x, x1, x2, x3], -1), p["conv4"]))
-    x5 = fnn.conv2d(jnp.concatenate([x, x1, x2, x3, x4], -1), p["conv5"])
+    """Scatter-form dense block (reference RRDBNet_arch.py ResidualDenseBlock
+    order: 5 narrow gather convs over growing concats).  Mathematically the
+    same sums, reassociated: each produced tensor does ONE wide conv to all
+    of its future consumers (x->192ch, x1->160, ..., x4->64) instead of
+    contributing to up to 5 narrow 32-out convs — <=64-out convs run at
+    3-17 TF/s on this chip vs ~40 at >=128 out (CLAUDE.md).  Each wide conv
+    is 9 accumulated shifted matmuls (im2col materialization is
+    bandwidth-bound; lax.conv lowers ~1.4x slower at these shapes)."""
+    nf = p["conv1"]["w"].shape[2]
+    gc = p["conv1"]["w"].shape[3]
+    couts = [gc, gc, gc, gc, nf]
+    cins = [nf, gc, gc, gc, gc]
+    offs = [0, nf, nf + gc, nf + 2 * gc, nf + 3 * gc]
+    # source tensor j feeds convs j+1..5: one weight of shape (3,3,Cj,Nj)
+    ws = [jnp.concatenate(
+        [p[f"conv{k+1}"]["w"][:, :, offs[j]:offs[j] + cins[j], :]
+         for k in range(j, 5)], axis=-1) for j in range(5)]
+    bs = [p[f"conv{k+1}"].get("b") for k in range(5)]
+
+    acc = [None] * 5  # pre-activation accumulator of conv k
+
+    def spread(j, y):
+        off = 0
+        for k in range(j, 5):
+            v = y[..., off:off + couts[k]]
+            acc[k] = v if acc[k] is None else acc[k] + v
+            off += couts[k]
+
+    spread(0, _conv_9dot(x, ws[0]))
+    for j in range(1, 5):
+        t = acc[j - 1] if bs[j - 1] is None else acc[j - 1] + bs[j - 1]
+        spread(j, _conv_9dot(fnn.leaky_relu(t), ws[j]))
+    x5 = acc[4] if bs[4] is None else acc[4] + bs[4]
     return x5 * 0.2 + x
+
+
+def _conv_9dot(x, w):
+    """3x3 SAME conv as 9 accumulated shifted matmuls (full-K, wide-N)."""
+    h, wd = x.shape[1], x.shape[2]
+    pads = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            y = jnp.einsum("bhwc,co->bhwo", pads[:, dy:dy + h, dx:dx + wd],
+                           w[dy, dx], preferred_element_type=jnp.float32,
+                           precision=fnn.default_precision())
+            acc = y if acc is None else acc + y
+    return acc
 
 
 def _rrdb_block(x, p):
@@ -44,6 +85,21 @@ def _rrdb_block(x, p):
     out = _dense_block(out, p["rdb2"])
     out = _dense_block(out, p["rdb3"])
     return out * 0.2 + x
+
+
+def _trunk_scan(trunk_params, fea):
+    """Run the 23 identical RRDB blocks as a lax.scan: one compiled block
+    body instead of 23 unrolled copies (the scatter-form block is ~135
+    matmul ops; unrolling all blocks made XLA compiles take minutes).
+    Returns (trunk_out, per_block_outputs stacked on axis 0)."""
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                     *trunk_params)
+
+    def body(t, bp):
+        t2 = _rrdb_block(t, bp)
+        return t2, t2
+
+    return jax.lax.scan(body, fea, stacked)
 
 
 # -- space-to-depth Pallas trunk (B=1 TPU inference) -------------------------
@@ -139,9 +195,7 @@ def rrdb_encode(params, x, fast=None):
     fea = fnn.conv2d(x, params["conv_first"])
     if _use_s2d_trunk(x, fast):
         return _trunk_s2d(params, fea)
-    t = fea
-    for blk in params["trunk"]:
-        t = _rrdb_block(t, blk)
+    t, _ = _trunk_scan(params["trunk"], fea)
     trunk = fnn.conv2d(t, params["trunk_conv"])
     return fea + trunk
 
@@ -168,11 +222,9 @@ def rrdb_apply_steps(params, x, scale=4, block_idxs=(), fea_up0=False, fea_upm1=
                                   interpret=interpret)
         last_lr_fea = s2d.depth_to_space(xs + trunk_s)
     else:
-        t = fea
-        for idx, blk in enumerate(params["trunk"]):
-            t = _rrdb_block(t, blk)
-            if idx in block_idxs:
-                block_results[f"block_{idx}"] = t
+        t, ys = _trunk_scan(params["trunk"], fea)
+        for idx in block_idxs:
+            block_results[f"block_{idx}"] = ys[idx]
         trunk = fnn.conv2d(t, params["trunk_conv"])
         last_lr_fea = fea + trunk
 

@@ -402,11 +402,6 @@ def _phase_conv(x, k, pads):
 
 def _phase_conv_nearest(x, w, a, b):
     return _phase_conv(x, *_nearest_phase_kernels(w, a, b))
-    """Convert a ``cond_affine_cache`` dict to the s2d layout.  The layout
-    is detected from shapes downstream (no marker leaf: it would trace)."""
-    return {"scale_ft": to_s2d(cache["scale_ft"]),
-            "shift_ft": to_s2d(cache["shift_ft"]),
-            "aff1_ft": to_s2d(cache["aff1_ft"])}
 
 
 def cache_to_s2d(cache):
