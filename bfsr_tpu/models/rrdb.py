@@ -67,16 +67,21 @@ def _dense_block(x, p):
 
 
 def _conv_9dot(x, w):
-    """3x3 SAME conv as 9 accumulated shifted matmuls (full-K, wide-N)."""
+    """3x3 SAME conv as a half-im2col: lane-concat the 3 row shifts once
+    (K=3C), then 3 accumulated column-shift matmuls.  Beats both the full
+    im2col (3x less materialization traffic) and 9 K=C dots (K 3x wider,
+    2 accumulate passes instead of 8)."""
     h, wd = x.shape[1], x.shape[2]
+    c = x.shape[-1]
     pads = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    colsy = jnp.concatenate([pads[:, dy:dy + h] for dy in range(3)], -1)
+    k = w.transpose(1, 0, 2, 3).reshape(3, 3 * c, w.shape[-1])  # (dx, 3C, N)
     acc = None
-    for dy in range(3):
-        for dx in range(3):
-            y = jnp.einsum("bhwc,co->bhwo", pads[:, dy:dy + h, dx:dx + wd],
-                           w[dy, dx], preferred_element_type=jnp.float32,
-                           precision=fnn.default_precision())
-            acc = y if acc is None else acc + y
+    for dx in range(3):
+        y = jnp.einsum("bhwc,co->bhwo", colsy[:, :, dx:dx + wd], k[dx],
+                       preferred_element_type=jnp.float32,
+                       precision=fnn.default_precision())
+        acc = y if acc is None else acc + y
     return acc
 
 

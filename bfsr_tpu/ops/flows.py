@@ -301,10 +301,29 @@ def cond_affine_cache_batched(ft, ps):
     an2_b = jnp.stack([p["fFeatures"]["conv2"]["actnorm"]["bias"] for p in ps])
     an2_s = jnp.stack([p["fFeatures"]["conv2"]["actnorm"]["logs"] for p in ps])
     z = fnn.relu((z + an2_b) * jnp.exp(an2_s))
-    # zero-init out convs (3x3, hidden -> 2C each); per-step lax convs —
-    # a single feature_group_count=n conv lowers ~5x slower on this chip
-    o = jnp.stack([fnn.conv2d(z[..., s, :], {"w": ps[s]["fFeatures"]["out"]["w"]})
-                   for s in range(n)], axis=-2)
+    # zero-init out convs (3x3, hidden -> 2C each).  At small spatial sizes
+    # (level-3 runs at 64^2) n separate narrow lax convs are dispatch/tiling
+    # bound (~0.6 ms each): batch them as one (n, h*w, hid) @ (n, hid, 2C)
+    # 9-tap matmul.  At larger sizes the accumulate/transpose traffic of
+    # the batched form loses to XLA's conv tiling — keep the per-step loop.
+    # (A feature_group_count=n conv lowers ~5x slower than either.)
+    if h * w <= 8192:
+        wout = jnp.stack([p["fFeatures"]["out"]["w"] for p in ps])
+        zb = z.transpose(0, 3, 1, 2, 4).reshape(B * n, h, w, hidden)
+        zp = jnp.pad(zb, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        o = None
+        for dy in range(3):
+            for dx in range(3):
+                t = jnp.einsum("nhwc,ncd->nhwd", zp[:, dy:dy + h, dx:dx + w],
+                               jnp.tile(wout[:, dy, dx], (B, 1, 1)),
+                               preferred_element_type=jnp.float32,
+                               precision=fnn.default_precision())
+                o = t if o is None else o + t
+        o = o.reshape(B, n, h, w, -1).transpose(0, 2, 3, 1, 4)  # (B,h,w,n,2C)
+    else:
+        o = jnp.stack(
+            [fnn.conv2d(z[..., s, :], {"w": ps[s]["fFeatures"]["out"]["w"]})
+             for s in range(n)], axis=-2)
     bout = jnp.stack([p["fFeatures"]["out"]["b"] for p in ps])
     lout = jnp.stack([p["fFeatures"]["out"]["logs"] for p in ps])
     o = (o + bout) * jnp.exp(lout * 3.0)
