@@ -122,8 +122,10 @@ def _step_reverse(x, p, ft, logdet, cond, ft_params=None):
 def precompute_ft(params, plan, conds, lvl1_s2d=True, lvl1_parts=None):
     """Per-step conditioning-only work: fFeatures (scale_ft, shift_ft) AND
     the fAffine first-conv 320-channel ft contribution.  With
-    ``lvl1_s2d`` (default) the level-1 caches are stored in the
-    space-to-depth layout consumed by the fs2d fast path.
+    ``lvl1_s2d`` (default) every level whose maps have even spatial dims
+    stores its caches in the space-to-depth layout consumed by the fs2d
+    fast path (level 1 additionally computes them at base resolution via
+    the phase decomposition).
 
     These depend only on the RRDB conditioning, so one pass serves every
     encode AND decode call on the image — the reference recomputes the
@@ -139,28 +141,41 @@ def precompute_ft(params, plan, conds, lvl1_s2d=True, lvl1_parts=None):
     lvl1_s2d = lvl1_s2d and any(e["level"] >= 2 for e in plan)
     for lvl, idxs in by_level.items():
         step_ps = [params["layers"][i]["affine"] for i in idxs]
+        even = (conds[lvl].shape[1] % 2 == 0 and conds[lvl].shape[2] % 2 == 0
+                and conds[lvl].shape[1] >= 2 and conds[lvl].shape[2] >= 2)
         if lvl == 1 and lvl1_s2d and lvl1_parts is not None:
             caches = fs2d.cond_affine_cache_batched_nearest(
                 lvl1_parts["base"], lvl1_parts["stack"],
                 lvl1_parts["upconv"], step_ps)
         else:
             caches = flows.cond_affine_cache_batched(conds[lvl], step_ps)
-            if lvl == 1 and lvl1_s2d:
+            # Only level 1 nets a win from the s2d step path: running
+            # levels 2/3 s2d was measured SLOWER end-to-end (83.1 ->
+            # 85-87 ms per 512^2 image) — the cache/state relayouts
+            # exceed the lane-waste savings at their small extents.  The
+            # encode/decode transitions below support any s2d level set,
+            # so flipping this condition is all it takes to re-test.
+            if lvl1_s2d and even and lvl == 1:
                 caches = [fs2d.cache_to_s2d(c) for c in caches]
         for i, c in zip(idxs, caches):
             out[i] = c
     return out
 
 
-def _cache_lvl1_s2d(plan, ft_cache):
-    """s2d-ness is detected structurally (shape), never via a pytree leaf —
-    a boolean leaf would be traced under jit."""
+def _cache_s2d_levels(plan, ft_cache):
+    """Levels whose step caches are in the s2d layout.  Detected
+    structurally (shape), never via a pytree leaf — a boolean leaf would
+    be traced under jit."""
+    levels = set()
     if ft_cache is None:
-        return False
+        return levels
+    seen = set()
     for entry, c in zip(plan, ft_cache):
-        if entry["kind"] == "step_cond" and entry["level"] == 1:
-            return bool(c) and c["scale_ft"].shape[-1] == 4 * entry["c"]
-    return False
+        if entry["kind"] == "step_cond" and entry["level"] not in seen:
+            seen.add(entry["level"])
+            if c and c["scale_ft"].shape[-1] == 4 * entry["c"]:
+                levels.add(entry["level"])
+    return levels
 
 
 def encode(params, plan, gt, conds, logdet, ft_cache=None):
@@ -169,21 +184,23 @@ def encode(params, plan, gt, conds, logdet, ft_cache=None):
     Returns (epses list [eps0..., z_final], logdet).
     (FlowUpsamplerNet.encode, :217-251)
     """
-    lvl1_s2d = _cache_lvl1_s2d(plan, ft_cache)
+    s2d_levels = _cache_s2d_levels(plan, ft_cache)
     x = gt
     in_s2d = False
     epses = []
     for i, (entry, p) in enumerate(zip(plan, params["layers"])):
         kind = entry["kind"]
         if kind == "squeeze":
-            if lvl1_s2d and entry["level"] == 1:
-                x = fs2d.to_s2d(flows.squeeze2d(x))
-                in_s2d = True
-            elif in_s2d:
+            if in_s2d:
+                # s2d state of level l-1 == squeeze2d output of level l,
+                # channel-reordered: a relayout, no resolution change
                 x = fs2d.squeeze_to_next_level(x)
                 in_s2d = False
             else:
                 x = flows.squeeze2d(x)
+            if entry["level"] in s2d_levels:
+                x = fs2d.to_s2d(x)
+                in_s2d = True
         elif kind == "step_nc":
             if in_s2d:
                 x, logdet = fs2d.step_forward(x, p, logdet, cond=False)
@@ -203,6 +220,8 @@ def encode(params, plan, gt, conds, logdet, ft_cache=None):
             else:
                 x, logdet, eps = flows.split2d(x, p, logdet, ft=None)
             epses.append(eps)
+    if in_s2d:
+        x = fs2d.from_s2d(x)
     epses.append(x)
     return epses, logdet
 
@@ -211,25 +230,29 @@ def decode(params, plan, conds, logdet, z=None, epses=None, eps_std=None, key=No
            ft_cache=None):
     """Inverse pass; consumes epses back-to-front (z_final popped first).
     (FlowUpsamplerNet.decode, :267-303)"""
-    lvl1_s2d = _cache_lvl1_s2d(plan, ft_cache)
+    s2d_levels = _cache_s2d_levels(plan, ft_cache)
     if epses is not None:
         epses = list(epses)
         x = epses.pop()
     else:
         x = z
     n = len(plan)
-    in_s2d = False
+    last_level = max((e["level"] for e in plan), default=0)
+    in_s2d = last_level in s2d_levels
+    if in_s2d:
+        x = fs2d.to_s2d(x)
     for ri, (entry, p) in enumerate(zip(reversed(plan), reversed(params["layers"]))):
         i = n - 1 - ri
         kind = entry["kind"]
         if kind == "squeeze":
-            if lvl1_s2d and entry["level"] == 2:
-                # entering level 1: reinterpret instead of unsqueezing
+            if in_s2d:
+                x = fs2d.from_s2d(x)
+                in_s2d = False
+            prev_s2d = (entry["level"] - 1) in s2d_levels
+            if prev_s2d:
+                # re-enter level l-1's s2d form: pure channel reorder
                 x = fs2d.unsqueeze_from_next_level(x)
                 in_s2d = True
-            elif in_s2d:
-                x = flows.unsqueeze2d(fs2d.from_s2d(x))
-                in_s2d = False
             else:
                 x = flows.unsqueeze2d(x)
         elif kind == "step_nc":

@@ -148,6 +148,36 @@ def unet_apply(params, z, lr, depth=3, training=False):
     return logits
 
 
+def dense5c_s2d(xs_blocks, block_sizes, p):
+    """dense_block5c over an implicit channel-concat, fused s2d Pallas."""
+    from bfsr_tpu.ops.pallas import s2d_conv as s2d
+
+    blocks = list(xs_blocks)
+    sizes = list(block_sizes)
+    for i in range(1, 6):
+        cp = p[f"conv{i}"]
+        w_blocks = s2d.s2d_weight(cp["w"], cin_split=sizes)
+        out = s2d.conv3x3_s2d(blocks, w_blocks, bias=cp["b"],
+                              act="lrelu" if i < 5 else None)
+        cout = cp["w"].shape[-1]
+        blocks = blocks + [out]
+        sizes = sizes + [cout]
+    return blocks[-1]
+
+
+def double_conv_s2d(xs_blocks, block_sizes, p):
+    """Eval-mode DoubleConv (conv+BN+lrelu x2), fused s2d Pallas."""
+    from bfsr_tpu.ops.pallas.conv3x3 import fold_bn
+    from bfsr_tpu.ops.pallas import s2d_conv as s2d
+
+    w1 = s2d.s2d_weight(p["conv1"]["w"], cin_split=list(block_sizes))
+    s1, b1 = fold_bn(p["conv1"], p["bn1"])
+    h = s2d.conv3x3_s2d(list(xs_blocks), w1, scale=s1, bias=b1, act="lrelu")
+    w2 = s2d.s2d_weight(p["conv2"]["w"])
+    s2_, b2 = fold_bn(p["conv2"], p["bn2"])
+    return s2d.conv3x3_s2d([h], w2, scale=s2_, bias=b2, act="lrelu")
+
+
 def unet_apply_fused(params, z, lr, depth=3):
     """Inference-only UNet forward with the 512^2-resolution stages running
     as fused space-to-depth Pallas convs (ops/pallas/s2d_conv.py): the
@@ -159,32 +189,10 @@ def unet_apply_fused(params, z, lr, depth=3):
     Numerics: 3-pass bf16 matmuls == XLA Precision.HIGH.  Requires even
     H/W and B=1; callers fall back to ``unet_apply`` otherwise.
     """
-    from bfsr_tpu.ops.pallas.conv3x3 import fold_bn
     from bfsr_tpu.ops.pallas import s2d_conv as s2d
 
     B, H, W, _ = z.shape
     assert B == 1 and H % 2 == 0 and W % 2 == 0
-
-    def dense5c_s2d(xs_blocks, block_sizes, p):
-        blocks = list(xs_blocks)
-        sizes = list(block_sizes)
-        for i in range(1, 6):
-            cp = p[f"conv{i}"]
-            w_blocks = s2d.s2d_weight(cp["w"], cin_split=sizes)
-            out = s2d.conv3x3_s2d(blocks, w_blocks, bias=cp["b"],
-                                  act="lrelu" if i < 5 else None)
-            cout = cp["w"].shape[-1]
-            blocks = blocks + [out]
-            sizes = sizes + [cout]
-        return blocks[-1]
-
-    def double_conv_s2d(xs_blocks, block_sizes, p):
-        w1 = s2d.s2d_weight(p["conv1"]["w"], cin_split=list(block_sizes))
-        s1, b1 = fold_bn(p["conv1"], p["bn1"])
-        h = s2d.conv3x3_s2d(list(xs_blocks), w1, scale=s1, bias=b1, act="lrelu")
-        w2 = s2d.s2d_weight(p["conv2"]["w"])
-        s2_, b2 = fold_bn(p["conv2"], p["bn2"])
-        return s2d.conv3x3_s2d([h], w2, scale=s2_, bias=b2, act="lrelu")
 
     # input projection + LR embedding (s2d for the 512^2 dense block)
     zs = s2d.space_to_depth(z)
