@@ -12,7 +12,7 @@ import jax
 from bfsr_tpu.models.base import Model
 from bfsr_tpu.models.unet import (
     init_dense_block5c,
-    dense_block5c,
+    dense_block5c_scatter,
     init_double_conv,
     double_conv,
     _up_merge,
@@ -46,7 +46,9 @@ def _init_branch(key, in_out_ch, depth, dim, bilinear=True):
 
 
 def _branch_apply(params, z, depth, training, bn_updates, prefix):
-    x = dense_block5c(z, params["input_proj"])
+    # scatter form: measured faster than the narrow gather
+    # convs at this branch's 256^2/64^2 extents
+    x = dense_block5c_scatter(z, params["input_proj"])
     feats = []
     x = double_conv(x, params["inc"], training, bn_updates, prefix + ("inc",))
     feats.append(x)

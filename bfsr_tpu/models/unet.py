@@ -36,12 +36,69 @@ def init_dense_block5c(key, nf, gc, out_dim):
 
 
 def dense_block5c(x, p):
+    """Reference-order dense block: 5 narrow gather convs over growing
+    concats (unet.py:10-36).  XLA's conv tiling wins at large extents
+    (512^2 runs the dense5c_s2d Pallas path instead) and at the odd-sized
+    lr_proj resolution; ``dense_block5c_scatter`` below wins at the
+    SRFlow prior's 256^2/64^2 shapes — both compute identical sums."""
     lrelu = fnn.leaky_relu
     x1 = lrelu(fnn.conv2d(x, p["conv1"]))
     x2 = lrelu(fnn.conv2d(jnp.concatenate([x, x1], -1), p["conv2"]))
     x3 = lrelu(fnn.conv2d(jnp.concatenate([x, x1, x2], -1), p["conv3"]))
     x4 = lrelu(fnn.conv2d(jnp.concatenate([x, x1, x2, x3], -1), p["conv4"]))
     return fnn.conv2d(jnp.concatenate([x, x1, x2, x3, x4], -1), p["conv5"])
+
+
+def dense_block5c_scatter(x, p):
+    """Scatter-form dense block (same sums as the reference's 5 narrow
+    gather convs over growing concats, reassociated): each produced tensor
+    does ONE wide conv to all of its future consumers — <=64-out convs run
+    at 3-17 TF/s on this chip vs ~40 at >=128 out.  Each wide conv is a
+    half-im2col (lane-concat of the 3 row shifts, then 3 accumulated
+    column-shift matmuls); see rrdb._dense_block for the same treatment of
+    the ESRGAN trunk."""
+    cin = p["conv1"]["w"].shape[2]
+    couts = [p[f"conv{k+1}"]["w"].shape[-1] for k in range(5)]
+    sizes = [cin] + couts[:4]          # channel width of source tensor j
+    offs = [0]
+    for s in sizes[:-1]:
+        offs.append(offs[-1] + s)      # its offset in the reference concat
+    ws = [jnp.concatenate(
+        [p[f"conv{k+1}"]["w"][:, :, offs[j]:offs[j] + sizes[j], :]
+         for k in range(j, 5)], axis=-1) for j in range(5)]
+    bs = [p[f"conv{k+1}"].get("b") for k in range(5)]
+
+    acc = [None] * 5  # pre-activation accumulator of conv k
+
+    def spread(j, y):
+        off = 0
+        for k in range(j, 5):
+            v = y[..., off:off + couts[k]]
+            acc[k] = v if acc[k] is None else acc[k] + v
+            off += couts[k]
+
+    spread(0, _conv_y3(x, ws[0]))
+    for j in range(1, 5):
+        t = acc[j - 1] if bs[j - 1] is None else acc[j - 1] + bs[j - 1]
+        spread(j, _conv_y3(fnn.leaky_relu(t), ws[j]))
+    return acc[4] if bs[4] is None else acc[4] + bs[4]
+
+
+def _conv_y3(x, w):
+    """3x3 SAME conv as a half-im2col: lane-concat the 3 row shifts once
+    (K=3C), then 3 accumulated column-shift matmuls."""
+    h, wd = x.shape[1], x.shape[2]
+    c = x.shape[-1]
+    pads = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    colsy = jnp.concatenate([pads[:, dy:dy + h] for dy in range(3)], -1)
+    k = w.transpose(1, 0, 2, 3).reshape(3, 3 * c, w.shape[-1])
+    acc = None
+    for dx in range(3):
+        y = jnp.einsum("bhwc,co->bhwo", colsy[:, :, dx:dx + wd], k[dx],
+                       preferred_element_type=jnp.float32,
+                       precision=fnn.default_precision())
+        acc = y if acc is None else acc + y
+    return acc
 
 
 # -- DoubleConv / Down / Up --------------------------------------------------
@@ -194,7 +251,10 @@ def unet_apply_fused(params, z, lr, depth=3):
     B, H, W, _ = z.shape
     assert B == 1 and H % 2 == 0 and W % 2 == 0
 
-    # input projection + LR embedding (s2d for the 512^2 dense block)
+    # input projection + LR embedding (s2d Pallas for the 512^2 dense
+    # block: the XLA scatter form that wins at 128^2 trunk shapes measured
+    # SLOWER here — 8.62 -> 7.74 MP/s — the f32 accumulate traffic
+    # dominates at 512^2 where the Pallas kernel keeps it in VMEM)
     zs = s2d.space_to_depth(z)
     in_chans = z.shape[-1]
     proj_s2d = dense5c_s2d([zs], [in_chans], params["input_proj"])
