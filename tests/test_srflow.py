@@ -114,3 +114,45 @@ def test_precompute_ft_cache_matches_uncached(rng):
     sr_c, _ = m.reverse_flow(m.params, lr, epses=eps_ref, add_gt_noise=False,
                              lr_enc=lr_enc, ft_cache=ft_cache)
     np.testing.assert_allclose(np.asarray(sr_c), np.asarray(sr_ref), atol=1e-5)
+
+
+def test_all_levels_s2d_matches_nhwc(rng):
+    """The encode/decode transition machinery supports ANY per-level s2d
+    set (flow_upsampler ships level-1-only for perf); force every level's
+    cache into the s2d layout and check both passes still match."""
+    from bfsr_tpu.models.srflow import flow_upsampler as fup
+    from bfsr_tpu.ops import flows_s2d as fs2d
+
+    m = small_srflow().freeze()
+    lr = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    lr_enc = m.preprocess(m.params, lr)
+    cache = m.precompute_ft(m.params, lr_enc)
+
+    # convert every NHWC per-step cache (levels 2, 3) to s2d
+    plan = m.plan
+    cache_all = []
+    for entry, c in zip(plan, cache):
+        if (c is not None and entry["kind"] == "step_cond"
+                and c["scale_ft"].shape[-1] == entry["c"]):
+            c = fs2d.cache_to_s2d(c)
+        cache_all.append(c)
+    levels = fup._cache_s2d_levels(plan, cache_all)
+    assert levels == {1, 2, 3}
+
+    eps_ref, nll_ref, _ = m.normal_flow(m.params, gt, lr, add_gt_noise=False,
+                                        lr_enc=lr_enc, ft_cache=cache)
+    eps_s, nll_s, _ = m.normal_flow(m.params, gt, lr, add_gt_noise=False,
+                                    lr_enc=lr_enc, ft_cache=cache_all)
+    for a, b in zip(eps_ref, eps_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nll_s), np.asarray(nll_ref),
+                               rtol=1e-5)
+
+    sr_ref, _ = m.reverse_flow(m.params, lr, epses=eps_ref,
+                               add_gt_noise=False, lr_enc=lr_enc,
+                               ft_cache=cache)
+    sr_s, _ = m.reverse_flow(m.params, lr, epses=eps_ref, add_gt_noise=False,
+                             lr_enc=lr_enc, ft_cache=cache_all)
+    np.testing.assert_allclose(np.asarray(sr_s), np.asarray(sr_ref),
+                               atol=1e-5)
