@@ -244,6 +244,57 @@ class LINFPredictor:
 _PREDICTOR_CACHE = {}
 
 
+def warmup_predictor(model, prior_model, lr_shapes, scale, pad_multiple=0,
+                     tile_queries=65536, use_prior=None, log_fn=print):
+    """Precompile the eval predictor for every LR shape bucket.
+
+    First compiles of the big fused programs take 1-5 minutes on this
+    platform; with `test.py --pad_multiple` bucketing, a dataset sweep
+    touches only a handful of distinct shapes.  This runs one dummy
+    predict per bucket so the production sweep (and the persistent XLA
+    compile cache at ~/.cache/bfsr_jax) is hot before any image is timed.
+
+    lr_shapes: iterable of (h, w) LR sizes; duplicates/bucket-collisions
+    are deduped after padding.  Returns the list of compiled buckets.
+    """
+    import time as _time
+
+    cache_key = (id(model), id(prior_model), tile_queries)
+    predictor = _PREDICTOR_CACHE.get(cache_key)
+    if predictor is None:
+        predictor = LINFPredictor(model, prior_model, tile_queries=tile_queries)
+        _PREDICTOR_CACHE[cache_key] = predictor
+
+    buckets = []
+    seen = set()
+    for (h, w) in lr_shapes:
+        if pad_multiple:
+            h = (h // pad_multiple + 1) * pad_multiple
+            w = (w // pad_multiple + 1) * pad_multiple
+        if (h, w) not in seen:
+            seen.add((h, w))
+            buckets.append((h, w))
+
+    use_prior = use_prior if use_prior is not None else prior_model is not None
+    d = getattr(model, "dim", 3)
+    for (h, w) in buckets:
+        t0 = _time.perf_counter()
+        inp = jnp.zeros((1, h, w, 3), jnp.float32)
+        coord = jnp.asarray(
+            make_coord_np((scale * h, scale * w), flatten=False)[None])
+        cell = jnp.asarray([[2.0 / (scale * h), 2.0 / (scale * w)]],
+                           jnp.float32)
+        gt_lr_up = (jnp.zeros((1, scale * h, scale * w, d), jnp.float32)
+                    if use_prior else None)
+        r = predictor.predict(model.params,
+                              prior_model.params if prior_model else None,
+                              inp, coord, cell, gt_lr_up)
+        jax.block_until_ready(r)
+        log_fn(f"warmup: LR {h}x{w} (scale {scale}) compiled in "
+               f"{_time.perf_counter() - t0:.1f}s")
+    return buckets
+
+
 def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
               eval_bsize=None, window_size=0, scale_max=4, verbose=False,
               detail=False, randomness=False, temperature=0.0, patch=False,

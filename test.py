@@ -45,6 +45,11 @@ def main():
     parser.add_argument("--pad_multiple", type=int, default=0,
                         help="reflect-pad LR to this multiple to bound jit "
                              "recompiles across image shapes")
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-pass: compile the predictor for every "
+                             "dataset LR shape bucket (honors "
+                             "--pad_multiple) before the metric sweep; "
+                             "fills the persistent XLA compile cache")
     parser.add_argument("--lpips_weights", default=None,
                         help="converted LPIPS-alex weights (.ckpt or torch "
                              ".pth); required for --detail unless --no_lpips")
@@ -92,6 +97,21 @@ def main():
         save_path = os.path.join("./sample", args.name, args.name_sub)
     else:
         save_path = os.path.join("./sample", args.name)
+
+    if args.warmup:
+        from bfsr_tpu.pipelines.linf_eval import warmup_predictor
+
+        shapes = []
+        for i, batch in enumerate(loader):
+            if args.limit is not None and i >= args.limit:
+                break
+            shapes.append(tuple(batch["inp"].shape[1:3]))
+        eval_type = config.get("eval_type")
+        warmup_scale = (int(args.scale_max) if eval_type is None
+                        else int(eval_type.split("-")[-1]))
+        warmup_predictor(model, prior_model, shapes, scale=warmup_scale,
+                         pad_multiple=int(args.window) or args.pad_multiple,
+                         tile_queries=args.tile_queries)
 
     res = eval_psnr(
         loader, model,

@@ -77,3 +77,21 @@ def test_train_one_epoch_and_eval(tiny_dataset, tmp_path):
     res = eval_psnr(loader, linf, prior, data_norm=cfg["data_norm"],
                     eval_type="div2k-2", tile_queries=512, limit=2)
     assert np.isfinite(res)
+
+
+def test_warmup_predictor_buckets(tiny_dataset):
+    """warmup_predictor compiles one program per padded shape bucket and
+    dedupes collisions."""
+    from bfsr_tpu import registry
+    from bfsr_tpu.pipelines.linf_eval import warmup_predictor
+
+    cfg = _config(tiny_dataset)
+    linf = registry.make(cfg["model"]).freeze()
+    prior = registry.make(cfg["prior_model"])
+    logs = []
+    buckets = warmup_predictor(
+        linf, prior, [(14, 14), (15, 13), (16, 16)], scale=2,
+        pad_multiple=8, tile_queries=512, log_fn=logs.append)
+    # 14x14 and 15x13 both pad to 16x16; 16x16 pads to 24x24
+    assert buckets == [(16, 16), (24, 24)]
+    assert len(logs) == 2

@@ -37,6 +37,14 @@ def make_data_loader(spec, tag, seed=0):
     dataset = registry.make(spec["dataset"])
     dataset = registry.make(spec["wrapper"], args={"dataset": dataset})
     utils.log(f"{tag} dataset: size={len(dataset)}")
+    if spec.get("loader") == "grain":
+        # multi-host option: deterministic per-host sharded global shuffle
+        # + worker processes (see data/grain_loader.py)
+        from bfsr_tpu.data.grain_loader import GrainLoader
+
+        return GrainLoader(dataset, batch_size=spec["batch_size"],
+                           shuffle=(tag == "train"), seed=seed,
+                           num_workers=int(spec.get("num_workers", 0)))
     return DataLoader(dataset, batch_size=spec["batch_size"],
                       shuffle=(tag == "train"), num_workers=4, seed=seed)
 
