@@ -261,7 +261,8 @@ def cond_affine_cache(ft, p):
     w = p["fAffine"]["conv1"]["w"]
     c_ft = ft.shape[-1]
     aff1_ft = fnn.conv2d(ft, {"w": w[:, :, w.shape[2] - c_ft:, :]})
-    return {"scale_ft": scale_ft, "shift_ft": shift_ft, "aff1_ft": aff1_ft}
+    return {"scale_ft": scale_ft, "shift_ft": shift_ft, "aff1_ft": aff1_ft,
+            "logdet_ft": _sum_log(scale_ft)}
 
 
 def cond_affine_cache_batched(ft, ps):
@@ -331,7 +332,8 @@ def cond_affine_cache_batched(ft, ps):
     scale = jax.nn.sigmoid(scale + 2.0) + AFFINE_EPS
     return [
         {"scale_ft": scale[..., s, :], "shift_ft": shift[..., s, :],
-         "aff1_ft": aff1[..., s * hidden:(s + 1) * hidden]}
+         "aff1_ft": aff1[..., s * hidden:(s + 1) * hidden],
+         "logdet_ft": _sum_log(scale[..., s, :])}
         for s in range(n)
     ]
 
@@ -360,8 +362,12 @@ def cond_affine(x, ft, p, logdet=None, reverse=False, ft_params=None):
     """
     c = x.shape[-1]
     c_nn = c // 2
+    logdet_ft = None
     if isinstance(ft_params, dict):
         scale_shift_ft = (ft_params["scale_ft"], ft_params["shift_ft"])
+        # sum(log(scale_ft)) is conditioning-only: precomputed in the cache
+        # (it otherwise re-reduces an HR-sized tensor per step per pass)
+        logdet_ft = ft_params.get("logdet_ft")
 
         def faffine(z1):
             return _scale_shift(flow_f_split(z1, p["fAffine"],
@@ -378,7 +384,8 @@ def cond_affine(x, ft, p, logdet=None, reverse=False, ft_params=None):
                               else cond_affine_ft(ft, p))
         z = (x + shift_ft) * scale_ft
         if logdet is not None:
-            logdet = logdet + _sum_log(scale_ft)
+            logdet = logdet + (logdet_ft if logdet_ft is not None
+                               else _sum_log(scale_ft))
         z1, z2 = z[..., :c_nn], z[..., c_nn:]
         scale, shift = faffine(z1)
         z2 = (z2 + shift) * scale
@@ -395,7 +402,8 @@ def cond_affine(x, ft, p, logdet=None, reverse=False, ft_params=None):
                           else cond_affine_ft(ft, p))
     z = z / scale_ft - shift_ft
     if logdet is not None:
-        logdet = logdet - _sum_log(scale_ft)
+        logdet = logdet - (logdet_ft if logdet_ft is not None
+                           else _sum_log(scale_ft))
     return z, logdet
 
 

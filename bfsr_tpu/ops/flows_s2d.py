@@ -152,10 +152,12 @@ def cond_affine(x4, p, logdet=None, reverse=False, ft_params=None):
                                           ft_params["aff1_ft"]))
 
     scale_ft, shift_ft = ft_params["scale_ft"], ft_params["shift_ft"]
+    logdet_ft = ft_params.get("logdet_ft")
     if not reverse:
         z = (x4 + shift_ft) * scale_ft
         if logdet is not None:
-            logdet = logdet + flows._sum_log(scale_ft)
+            logdet = logdet + (logdet_ft if logdet_ft is not None
+                               else flows._sum_log(scale_ft))
         z1, z2 = _split_channels(z, c, c_nn)
         scale, shift = faffine(z1)
         z2 = (z2 + shift) * scale
@@ -170,7 +172,8 @@ def cond_affine(x4, p, logdet=None, reverse=False, ft_params=None):
         logdet = logdet - flows._sum_log(scale)
     z = z / scale_ft - shift_ft
     if logdet is not None:
-        logdet = logdet - flows._sum_log(scale_ft)
+        logdet = logdet - (logdet_ft if logdet_ft is not None
+                           else flows._sum_log(scale_ft))
     return z, logdet
 
 
@@ -389,7 +392,8 @@ def cond_affine_cache_batched_nearest(base, stack, upconv, ps):
         aff1 = jnp.concatenate(
             [y[..., (n + s) * hid:(n + s + 1) * hid] for y in ys], axis=-1)
         caches.append({"scale_ft": scale_ft, "shift_ft": shift_ft,
-                       "aff1_ft": aff1})
+                       "aff1_ft": aff1,
+                       "logdet_ft": flows._sum_log(scale_ft)})
     return caches
 
 
@@ -407,6 +411,9 @@ def _phase_conv_nearest(x, w, a, b):
 def cache_to_s2d(cache):
     """Convert a NHWC ``cond_affine_cache`` dict to the s2d layout (layout
     is detected from shapes downstream — no marker leaf: it would trace)."""
-    return {"scale_ft": to_s2d(cache["scale_ft"]),
-            "shift_ft": to_s2d(cache["shift_ft"]),
-            "aff1_ft": to_s2d(cache["aff1_ft"])}
+    out = {"scale_ft": to_s2d(cache["scale_ft"]),
+           "shift_ft": to_s2d(cache["shift_ft"]),
+           "aff1_ft": to_s2d(cache["aff1_ft"])}
+    if "logdet_ft" in cache:
+        out["logdet_ft"] = cache["logdet_ft"]
+    return out
