@@ -100,8 +100,12 @@ def _trunk_scan(trunk_params, fea):
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                      *trunk_params)
 
+    # remat each block under autodiff: the half-im2col buffers (3C wide)
+    # otherwise get saved per scan step for backward — 23 x ~430 MB blew
+    # HBM at the reference train config (batch 12, GT 160).  Free for
+    # forward-only eval; trunk backward recomputes the block instead.
     def body(t, bp):
-        t2 = _rrdb_block(t, bp)
+        t2 = jax.checkpoint(_rrdb_block)(t, bp)
         return t2, t2
 
     return jax.lax.scan(body, fea, stacked)
