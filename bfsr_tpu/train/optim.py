@@ -94,6 +94,22 @@ def cosine_restart(base_lr, t_period, eta_min=1e-7, restarts=(), restart_weights
     return schedule
 
 
+def with_warmup(schedule, base_lr, warmup_iter):
+    """Linear LR warmup override (SRFlow-LP/code/models/base_model.py:69-81):
+    for cur_iter < warmup_iter the lr is ``init_lr * cur_iter/warmup_iter``
+    regardless of the scheduler; the shipped confs set ``warmup_iter: -1``
+    (disabled).  Pure jnp — jit-safe inside optax.scale_by_schedule."""
+    if warmup_iter is None or warmup_iter <= 0:
+        return schedule
+    wi = float(warmup_iter)
+
+    def wrapped(step):
+        s = jnp.asarray(step, jnp.float32)
+        return jnp.where(s < wi, base_lr * s / wi, schedule(step))
+
+    return wrapped
+
+
 def make_optimizer(spec, schedule=None):
     """spec: {'name': 'adam'|'sgd', 'args': {...torch kwargs...}}.
 

@@ -59,6 +59,13 @@ def _make_schedule(train_opt, niter, base_lr):
                               restart_weights=train_opt.get("restart_weights") or ())
 
 
+def _wrap_warmup(schedule, train_opt, base_lr):
+    """base_model.py:69-81 warmup_iter wiring (confs ship -1 = off)."""
+    from bfsr_tpu.train.optim import with_warmup
+
+    return with_warmup(schedule, base_lr, train_opt.get("warmup_iter", -1))
+
+
 def train_sr(opt, args):
     """Plain-SR SRModel training (SR_model.py, F13): upsampling RRDB
     generator + pixel criterion.  conf: model: sr, network_G.which_model_G:
@@ -91,7 +98,8 @@ def train_sr(opt, args):
             log(f"auto-resumed from {newest} at iter {start_iter}")
 
     base_lr = float(train_opt["lr_G"])
-    schedule = _make_schedule(train_opt, niter, base_lr)
+    schedule = _wrap_warmup(_make_schedule(train_opt, niter, base_lr),
+                            train_opt, base_lr)
     optimizer = optax.adam(schedule, b1=train_opt.get("beta1", 0.9),
                            b2=train_opt.get("beta2", 0.99))
     opt_state = optimizer.init(model.params)
@@ -174,7 +182,8 @@ def main():
     # converted checkpoints carry trained actnorm stats instead.
 
     base_lr = float(train_opt["lr_G"])
-    schedule = _make_schedule(train_opt, niter, base_lr)
+    schedule = _wrap_warmup(_make_schedule(train_opt, niter, base_lr),
+                            train_opt, base_lr)
     optimizer = optax.adam(schedule, b1=train_opt.get("beta1", 0.9),
                            b2=train_opt.get("beta2", 0.99))
     opt_state = optimizer.init(model.params)

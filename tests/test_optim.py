@@ -147,3 +147,26 @@ def test_make_optimizer_sgd():
 def test_unknown_optimizer():
     with pytest.raises(ValueError):
         make_optimizer({"name": "rmsprop", "args": {"lr": 1.0}})
+
+
+def test_warmup_linear_ramp_jitted():
+    """with_warmup mirrors base_model.py:69-81: below warmup_iter the lr is
+    init_lr * cur_iter / warmup_iter regardless of the schedule; at/after
+    it the schedule value applies unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from bfsr_tpu.train.optim import multi_step_restart, with_warmup
+
+    base = 2.5e-4
+    sched = multi_step_restart(base, [10, 20], gamma=0.5)
+    warm = with_warmup(sched, base, 8)
+    f = jax.jit(warm)
+    for step in range(30):
+        lr = float(f(jnp.asarray(step)))
+        if step < 8:
+            want = base * step / 8.0
+        else:
+            want = base * 0.5 ** sum(step >= m for m in (10, 20))
+        np.testing.assert_allclose(lr, want, rtol=1e-6)
+    # disabled (-1) returns the schedule unchanged
+    assert with_warmup(sched, base, -1) is sched
