@@ -144,8 +144,9 @@ def run_multichip_bench(dp=None):
     mesh = make_mesh({"dp": dp})
 
     model, prior = _flagship()
-    predictor = LINFPredictor(model, prior, tile_queries=65536,
-                              use_pallas=False)  # XLA path batches over dp
+    # per-shard B=1 -> every device runs the fused Pallas path (the
+    # batched XLA path measured ~4.8 MP/s/chip vs ~8.5 for Pallas)
+    predictor = LINFPredictor(model, prior, tile_queries=65536)
 
     rng = np.random.default_rng(0)
     h = w = LR_SIZE
@@ -168,8 +169,20 @@ def run_multichip_bench(dp=None):
         lp = replicate(model.params, mesh)
         pp = replicate(prior.params, mesh)
 
+        from jax import shard_map
+
+        def _shard_body(lp_, pp_, i, c, ce, g):
+            return predictor._predict_impl(
+                lp_, pp_, i, c, ce, g, jnp.float32(0.0),
+                jax.random.PRNGKey(0), use_prior=True, sample=False)
+
+        sharded_predict = jax.jit(shard_map(
+            _shard_body, mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=P("dp"), check_vma=False))
+
         def once():
-            return predictor.predict(lp, pp, inp_s, coord_s, cell_s, gt_s)
+            return sharded_predict(lp, pp, inp_s, coord_s, cell_s, gt_s)
 
         out = once()
         # scaling evidence: the output must stay dp-sharded (each device

@@ -121,3 +121,47 @@ def test_dp_sharded_eval_per_device_work_scales(rng):
         assert shard_batches == {B // 8}, shard_batches
         assert len(list(out.addressable_shards)) == 8
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_shard_map_per_device_b1_predict_matches(rng):
+    """bench.py --multichip wraps the B=1 predictor body in shard_map so
+    every device runs the fused single-image path; per-shard results must
+    match per-image unsharded predicts."""
+    from jax import shard_map
+
+    m = small_linf()
+    prior = registry.make({"name": "unet", "args": {"in_chans": 3, "depth": 2,
+                                                    "dim": 16}})
+    h, w, s = 6, 8, 2
+    H, W = h * s, w * s
+    B = 8
+    inp = jnp.asarray(rng.random((B, h, w, 3)).astype(np.float32))
+    gt = jnp.asarray((rng.random((B, H, W, 3)) - 0.5).astype(np.float32))
+    coord = jnp.asarray(np.broadcast_to(
+        make_coord_np((H, W), flatten=False)[None], (B, H, W, 2)).copy())
+    cell = jnp.asarray(np.broadcast_to(make_cell((H, W))[None], (B, 2)).copy())
+
+    predictor = LINFPredictor(m, prior, tile_queries=H * W, use_pallas=False)
+    refs = [np.asarray(predictor.predict(
+        m.params, prior.params, inp[i:i + 1], coord[i:i + 1], cell[i:i + 1],
+        gt[i:i + 1], key=jax.random.PRNGKey(0))) for i in range(B)]
+
+    mesh = make_mesh({"dp": 8})
+    with mesh:
+        sh = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))  # noqa: E731
+
+        def body(lp, pp, i, c, ce, g):
+            return predictor._predict_impl(
+                lp, pp, i, c, ce, g, jnp.float32(0.0), jax.random.PRNGKey(0),
+                use_prior=True, sample=False)
+
+        f = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=P("dp"), check_vma=False))
+        out = f(replicate(m.params, mesh), replicate(prior.params, mesh),
+                sh(inp, P("dp")), sh(coord, P("dp")), sh(cell, P("dp")),
+                sh(gt, P("dp")))
+        assert {sd.data.shape[0] for sd in out.addressable_shards} == {1}
+    np.testing.assert_allclose(np.asarray(out), np.concatenate(refs),
+                               atol=1e-4)
