@@ -91,19 +91,27 @@ def init_flow_upsampler(key, plan, cond_channels=320, hidden_channels=64):
 
 
 def cache_flow_inverses(params):
-    """Attach w_inv/logabsdet caches to every invconv (frozen inference)."""
+    """Attach w_inv/logabsdet caches to every invconv (frozen inference),
+    plus the folded actnorm+invconv affine (one matmul per step pair,
+    constant log-det — see flows.fold_actnorm_invconv)."""
     out = {"layers": []}
     for p in params["layers"]:
         p = dict(p)
         if "invconv" in p:
             p["invconv"] = flows.invconv_cache(p["invconv"]["w"])
+            if "actnorm" in p:
+                p["anic"] = flows.fold_actnorm_invconv(p["actnorm"],
+                                                       p["invconv"])
         out["layers"].append(p)
     return out
 
 
 def _step_forward(x, p, ft, logdet, cond, ft_params=None):
-    x, logdet = flows.actnorm(x, p["actnorm"], logdet)
-    x, logdet = flows.invconv1x1(x, p["invconv"], logdet)
+    if "anic" in p:
+        x, logdet = flows.an_invconv_fused(x, p["anic"], logdet)
+    else:
+        x, logdet = flows.actnorm(x, p["actnorm"], logdet)
+        x, logdet = flows.invconv1x1(x, p["invconv"], logdet)
     if cond:
         x, logdet = flows.cond_affine(x, ft, p["affine"], logdet,
                                       ft_params=ft_params)
@@ -114,8 +122,11 @@ def _step_reverse(x, p, ft, logdet, cond, ft_params=None):
     if cond:
         x, logdet = flows.cond_affine(x, ft, p["affine"], logdet, reverse=True,
                                       ft_params=ft_params)
-    x, logdet = flows.invconv1x1(x, p["invconv"], logdet, reverse=True)
-    x, logdet = flows.actnorm(x, p["actnorm"], logdet, reverse=True)
+    if "anic" in p:
+        x, logdet = flows.an_invconv_fused(x, p["anic"], logdet, reverse=True)
+    else:
+        x, logdet = flows.invconv1x1(x, p["invconv"], logdet, reverse=True)
+        x, logdet = flows.actnorm(x, p["actnorm"], logdet, reverse=True)
     return x, logdet
 
 

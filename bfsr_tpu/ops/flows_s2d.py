@@ -100,6 +100,23 @@ def invconv1x1(x4, p, logdet=None, reverse=False):
     return _flat(y).astype(x4.dtype), logdet
 
 
+def an_invconv_fused(x4, p, logdet=None, reverse=False):
+    """Folded actnorm+invconv on s2d state (``flows.fold_actnorm_invconv``):
+    one per-phase matmul + bias, constant log-det."""
+    c = p["w_fold"].shape[0]
+    w = p["w_inv_fold"] if reverse else p["w_fold"]
+    r = _per_phase(x4, c)
+    y = jnp.einsum("bhwpi,oi->bhwpo", r, w.astype(jnp.float32),
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = y - p["an_bias"] if reverse else y + p["b_fold"]
+    if logdet is not None:
+        d = p["logabsdet_fold"].astype(jnp.float32) * (
+            x4.shape[1] * x4.shape[2] * 4)
+        logdet = logdet + (-d if reverse else d)
+    return _flat(y).astype(x4.dtype), logdet
+
+
 def _split_channels(x4, c, c_nn):
     r = _per_phase(x4, c)
     return _flat(r[..., :c_nn]), _flat(r[..., c_nn:])
@@ -178,8 +195,11 @@ def cond_affine(x4, p, logdet=None, reverse=False, ft_params=None):
 
 
 def step_forward(x4, p, logdet, cond, ft_params=None):
-    x4, logdet = actnorm(x4, p["actnorm"], logdet)
-    x4, logdet = invconv1x1(x4, p["invconv"], logdet)
+    if "anic" in p:
+        x4, logdet = an_invconv_fused(x4, p["anic"], logdet)
+    else:
+        x4, logdet = actnorm(x4, p["actnorm"], logdet)
+        x4, logdet = invconv1x1(x4, p["invconv"], logdet)
     if cond:
         x4, logdet = cond_affine(x4, p["affine"], logdet, ft_params=ft_params)
     return x4, logdet
@@ -189,8 +209,11 @@ def step_reverse(x4, p, logdet, cond, ft_params=None):
     if cond:
         x4, logdet = cond_affine(x4, p["affine"], logdet, reverse=True,
                                  ft_params=ft_params)
-    x4, logdet = invconv1x1(x4, p["invconv"], logdet, reverse=True)
-    x4, logdet = actnorm(x4, p["actnorm"], logdet, reverse=True)
+    if "anic" in p:
+        x4, logdet = an_invconv_fused(x4, p["anic"], logdet, reverse=True)
+    else:
+        x4, logdet = invconv1x1(x4, p["invconv"], logdet, reverse=True)
+        x4, logdet = actnorm(x4, p["actnorm"], logdet, reverse=True)
     return x4, logdet
 
 
