@@ -175,20 +175,33 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     tr = min(_MAX_TR, H)
     while H % tr:
         tr -= T_R
-    # VMEM cap on the (rows_out, tr, wt) output block (double-buffered):
-    # shrink the tile for wide-info models (patch: rows_out=544)
-    while tr > T_R and rows_out_early * tr * wt * 4 * 2 > 6 * 1024 * 1024:
-        tr -= T_R
-    if W % 128 == 0:
-        while wt > 128 and rows_out_early * tr * wt * 4 * 2 > 6 * 1024 * 1024:
-            wt //= 2
-            cw = max(cw // 2, 384)
-    # LR row window: tr HR rows span <= tr/scale LR rows (+2 for the
-    # corner shifts, +1 rounding)
-    r_max = int(math.ceil(tr / max(scale_est, 0.8))) + 3
+
     # the DMA window never needs to exceed the (128-padded) LR extent
     w128 = -(-w // 128) * 128
     cw = min(cw, w128)
+
+    # VMEM cap on the WHOLE scoped footprint, not just the out block: at
+    # DIV2K LR widths the coef/freq col windows are cw=512 (vs 128 at the
+    # 512^2 bench) and tr=16 overflowed the 16M scoped-vmem limit.  The
+    # temporaries coefficient is calibrated against the measured 512^2
+    # (fits) and 2040x1356 (17.38M, overflowed) footprints.
+    def _vmem_est(tr_, wt_, cw_):
+        r = min(int(math.ceil(tr_ / max(scale_est, 0.8))) + 3, max(h, 4))
+        return (rows_out_early * tr_ * wt_ * 4 * 2   # out block, dbl-buffered
+                + 2 * r * C * cw_ * 4                # coef/freq LR windows
+                + 2 * 2 * cw_ * wt_ * 4              # pxm/pxp blocks
+                + int(1.7 * tr_ * wt_ * C * 4))      # in-kernel temporaries
+
+    budget = 15 * 1024 * 1024
+    while tr > T_R and _vmem_est(tr, wt, cw) > budget:
+        tr -= T_R
+    if W % 128 == 0:
+        while wt > 128 and _vmem_est(tr, wt, cw) > budget:
+            wt //= 2
+            cw = min(max(cw // 2, 384), w128)
+    # LR row window: tr HR rows span <= tr/scale LR rows (+2 for the
+    # corner shifts, +1 rounding)
+    r_max = int(math.ceil(tr / max(scale_est, 0.8))) + 3
     r_max = min(r_max, max(h, 4))
     n_rows = H // tr
     n_cols = W // wt

@@ -176,10 +176,20 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
         bias = jnp.zeros((cout,), jnp.float32)
     sb = jnp.stack([jnp.tile(scale, 4), jnp.tile(bias, 4)]).astype(jnp.float32)
 
-    # tile: T rows x Wc cols; keep the window set + weights within VMEM
-    Wc = Ws if Ws <= 512 else 256
-    while Ws % Wc:
-        Wc -= 1
+    # tile: T rows x Wc cols; keep the window set + weights within VMEM.
+    # Mosaic block constraint: the col dim of a block must be 8-aligned
+    # unless it equals the array's — widths like DIV2K's 1020 (no 8-mult
+    # divisor) are zero-padded right to a 128 multiple and cropped after
+    # (exact: SAME-conv zeros).
+    Wp = Ws
+    if Ws <= 512:
+        Wc = Ws  # block == array dim: always legal
+    else:
+        Wp = -(-Ws // 128) * 128
+        for cand in (512, 384, 256, 128):
+            if Wp % cand == 0:
+                Wc = cand
+                break
     def _cp(x):
         return x.shape[-1] if x.ndim == 3 else -(-x.shape[-1] // 128) * 128
 
@@ -192,17 +202,23 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
         T //= 2
     while Hs % T:
         T -= 1
-    grid = (Hs // T, Ws // Wc)
+    grid = (Hs // T, Wp // Wc)
 
     # DMA slices must be 128-aligned in the last dim (CLAUDE.md / Mosaic):
     # zero-pad small channel counts (and the matching weight rows)
     padded, weights_p = [], []
     for x, w in zip(inputs, weights):
         if x.ndim == 3:
+            if Wp != Ws:
+                # appended zeros sit past the data+halo: every col window
+                # right of the image reads zeros, exactly SAME semantics
+                x = jnp.pad(x, ((0, 0), (0, Wp - Ws), (0, 0)))
             padded.append(x)
             cp = x.shape[-1]
         else:
             cp = -(-x.shape[-1] // 128) * 128
+            if Wp != Ws:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - Ws), (0, 0)))
             padded.append(prepad(x))
         weights_p.append(jnp.pad(w, ((0, 0), (0, cp - w.shape[1]), (0, 0))))
     wh = [w.astype(jnp.bfloat16) for w in weights_p]
@@ -217,7 +233,7 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_in, T, Wc, m, act, slope, passes),
-        out_shape=jax.ShapeDtypeStruct((Hs, Ws, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Hs, Wp, m), jnp.float32),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((T, Wc, m), lambda i, j: (i, j, 0),
@@ -225,6 +241,8 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*padded, *wh, *wl, sb)
+    if Wp != Ws:
+        out = out[:, :Ws]
     return out[None]
 
 

@@ -55,3 +55,26 @@ def test_rrdb_s2d_trunk_matches_jnp(rng):
     for k in ref:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    atol=3e-5, rtol=1e-4, err_msg=k)
+
+
+def test_conv3x3_s2d_unaligned_width(rng):
+    """Widths with no 8-multiple divisor (DIV2K: 2040 -> s2d 1020) must
+    pad-and-crop instead of picking an illegal Mosaic block (the bug made
+    full-size images crash on hardware)."""
+    import jax
+    import jax.numpy as jnp
+    from bfsr_tpu.ops.pallas import s2d_conv as s2d
+
+    x = jnp.asarray(rng.random((1, 12, 2040, 8)).astype(np.float32))
+    xs = s2d.space_to_depth(x)
+    w = jnp.asarray((rng.random((3, 3, 8, 32)) - 0.5).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    out = s2d.conv3x3_s2d([xs], s2d.s2d_weight(w), interpret=True)
+    got = s2d.depth_to_space(out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    # prepadded (3-D kernel-layout) inputs take the same pad path
+    out2 = s2d.conv3x3_s2d([s2d.prepad(xs)], s2d.s2d_weight(w), interpret=True)
+    np.testing.assert_allclose(np.asarray(s2d.depth_to_space(out2)),
+                               np.asarray(ref), atol=1e-4)
