@@ -16,9 +16,15 @@ from bfsr_tpu.ops.interp import resize_bilinear
 
 
 class SRFlowLPPredictor:
-    def __init__(self, model, prior_model):
+    """pad_multiple > 2 buckets LR shapes (reflect-pad up, crop the SR
+    back) so a dataset sweep compiles one program per bucket instead of
+    one per image — first compiles take minutes on this platform.  The
+    reference protocol's %2 pad (test.py:100-106) is the lower bound."""
+
+    def __init__(self, model, prior_model, pad_multiple=2):
         self.model = model
         self.prior = prior_model
+        self.pad_multiple = max(2, int(pad_multiple or 2))
         self._fn = jax.jit(self._impl)
 
     def _impl(self, params, prior_params, lr):
@@ -41,9 +47,13 @@ class SRFlowLPPredictor:
         """lr_img01: (h, w, 3) float [0,1] numpy.  Returns SR numpy [0,1],
         cropped to h*scale x w*scale."""
         h, w = lr_img01.shape[:2]
-        pad_h = int(np.ceil(h / 2) * 2 - h)
-        pad_w = int(np.ceil(w / 2) * 2 - w)
-        padded = np.pad(lr_img01, ((0, pad_h), (0, pad_w), (0, 0)), "reflect")
+        m = self.pad_multiple
+        pad_h = int(np.ceil(h / m) * m - h)
+        pad_w = int(np.ceil(w / m) * m - w)
+        # 'symmetric' = the reference's flipped-image pad (LINF test.py
+        # window mechanics); valid for pads up to the image size
+        padded = np.pad(lr_img01, ((0, pad_h), (0, pad_w), (0, 0)),
+                        "symmetric" if m > 2 else "reflect")
         sr = self._fn(self.model.params, self.prior.params,
                       jnp.asarray(padded[None], jnp.float32))
         sr = np.asarray(jnp.clip(sr, 0.0, 1.0))[0]

@@ -95,6 +95,11 @@ def main():
     parser.add_argument("--no_lpips", action="store_true",
                         help="skip the LPIPS metric (otherwise weights are "
                              "required — it is the paper's headline metric)")
+    parser.add_argument("--pad_multiple", type=int, default=2,
+                        help="reflect-pad LR shapes to this multiple to "
+                             "bound jit recompiles across image shapes "
+                             "(SR is cropped back; metrics differ only by "
+                             "border receptive fields)")
     args = parser.parse_args()
 
     with open(args.conf) as f:
@@ -116,7 +121,7 @@ def main():
 
     model = load_srflow_model(opt)
     prior = load_prior_from_conf(opt)
-    predictor = SRFlowLPPredictor(model, prior)
+    predictor = SRFlowLPPredictor(model, prior, pad_multiple=args.pad_multiple)
 
     lr_paths = natsorted(glob.glob(os.path.join(opt["dataroot_LR"], "*.png")))
     hr_paths = natsorted(glob.glob(os.path.join(opt["dataroot_GT"], "*.png")))
