@@ -100,6 +100,10 @@ def main():
                              "bound jit recompiles across image shapes "
                              "(SR is cropped back; metrics differ only by "
                              "border receptive fields)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile one program per LR shape bucket "
+                             "before the metric sweep (shapes read from "
+                             "PNG headers — no decode)")
     args = parser.parse_args()
 
     with open(args.conf) as f:
@@ -127,6 +131,22 @@ def main():
     hr_paths = natsorted(glob.glob(os.path.join(opt["dataroot_GT"], "*.png")))
     if args.limit:
         lr_paths, hr_paths = lr_paths[: args.limit], hr_paths[: args.limit]
+
+    if args.warmup:
+        import time as _time
+
+        seen = set()
+        m = max(2, args.pad_multiple)
+        for p_ in lr_paths:
+            w_, h_ = Image.open(p_).size  # header only, no decode
+            hb = -(-h_ // m) * m
+            wb = -(-w_ // m) * m
+            if (hb, wb) not in seen:
+                seen.add((hb, wb))
+                t0 = _time.perf_counter()
+                predictor.predict(np.zeros((hb, wb, 3), np.float32))
+                print(f"warmup: LR {hb}x{wb} compiled in "
+                      f"{_time.perf_counter() - t0:.1f}s")
 
     test_dir = os.path.join("results", "SRFlow-LP")
     os.makedirs(test_dir, exist_ok=True)
