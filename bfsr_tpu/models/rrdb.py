@@ -157,10 +157,10 @@ def _trunk_s2d(params, fea, interpret=False):
 
 
 def _use_s2d_trunk(x, fast):
-    # OPT-IN (fast=True): measured dead-even with XLA at 128^2 (56.8 ms
-    # both) — the trunk is at the ~4x narrow-conv floor either way (s2d
-    # pays 4x MACs at full lanes; XLA pays 4x lane waste at 32-out).
-    # Kept for the passes=1 serving mode and future tap-split work.
+    # OPT-IN (fast=True): the scatter-form XLA trunk (now the default
+    # path) measured 35.3 ms at 128^2 vs ~57 for both the narrow XLA
+    # order and this dense-s2d Pallas chain.  Kept for the passes=1
+    # serving mode, where the 4x-MAC single-pass bf16 trade differs.
     if fast is None:
         fast = False
     # tiny spatial extents fault Mosaic DMA on hardware (selfcheck's 4x4
