@@ -151,8 +151,12 @@ def prepad(x):
 
 
 def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
-                passes=3, interpret=False):
+                passes=None, interpret=False):
     """Fused 3x3 SAME conv over an implicit channel-concat of ``inputs``.
+
+    ``passes=None`` follows the global precision mode: 3-pass bf16
+    (== XLA HIGH) normally, single-pass in `BFSR_PRECISION=default`
+    serving mode.
 
     inputs: list of (1, Hs, Ws, 4*Ci) phase-major s2d tensors (f32), or
     3-D (Hs+2, Ws+16, Cp) kernel-layout arrays from :func:`prepad` (the
@@ -163,6 +167,11 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
     Returns (1, Hs, Ws, 4*Cout) phase-major s2d, f32.
     """
     interpret = interpret or jax.default_backend() != "tpu"
+    if passes is None:
+        from bfsr_tpu.ops import nn as fnn
+
+        passes = (1 if fnn.default_precision() == jax.lax.Precision.DEFAULT
+                  else 3)
     n_in = len(inputs)
     if inputs[0].ndim == 3:
         Hs, Ws = inputs[0].shape[0] - 2, inputs[0].shape[1] - 16

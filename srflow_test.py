@@ -104,7 +104,18 @@ def main():
                         help="pre-compile one program per LR shape bucket "
                              "before the metric sweep (shapes read from "
                              "PNG headers — no decode)")
+    parser.add_argument("--precision", default=None,
+                        choices=["default", "high", "highest"],
+                        help="matmul/conv precision: 'high' (f32-accurate, "
+                             "the default) or 'default' (bf16 serving "
+                             "mode, ~1.2-1.7x faster; flow/log-det paths "
+                             "stay f32-exact either way)")
     args = parser.parse_args()
+
+    if args.precision:
+        from bfsr_tpu.ops.nn import set_default_precision
+
+        set_default_precision(args.precision)
 
     with open(args.conf) as f:
         opt = yaml.safe_load(f)

@@ -55,7 +55,18 @@ def main():
                              ".pth); required for --detail unless --no_lpips")
     parser.add_argument("--no_lpips", action="store_true",
                         help="skip the LPIPS metric in --detail mode")
+    parser.add_argument("--precision", default=None,
+                        choices=["default", "high", "highest"],
+                        help="matmul/conv precision: 'high' (f32-accurate, "
+                             "the default) or 'default' (bf16 serving "
+                             "mode, ~1.2-1.7x faster; flow/log-det paths "
+                             "stay f32-exact either way)")
     args = parser.parse_args()
+
+    if args.precision:
+        from bfsr_tpu.ops.nn import set_default_precision
+
+        set_default_precision(args.precision)
 
     with open(args.config) as f:
         config = yaml.safe_load(f)
