@@ -73,6 +73,14 @@ def validate(model, batches, heats=(0.0, 0.5, 0.75, 1.0), n_sample=3, seed=0,
     """
     import jax
 
+    # jit the three device programs once (per LQ/GT shape): running the
+    # flow eagerly costs ~1-1.5 ms of dispatch PER OP on this platform
+    pre = jax.jit(lambda p, lq: model.preprocess(p, lq))
+    rev = jax.jit(lambda p, lq, z, heat, key, enc: model.reverse_flow(
+        p, lq, z=z, eps_std=heat, key=key, lr_enc=enc)[0])
+    nfl = jax.jit(lambda p, gt, lq, key, enc: model.normal_flow(
+        p, gt, lq, key=key, add_gt_noise=True, lr_enc=enc)[1])
+
     nlls = []
     samples = {}
     for bi, batch in enumerate(batches):
@@ -84,17 +92,15 @@ def validate(model, batches, heats=(0.0, 0.5, 0.75, 1.0), n_sample=3, seed=0,
         # RRDB conditioning computed once per batch, shared across all
         # heats/samples and the NLL pass (the reference recomputes it per
         # reverse call, SRFlow_model.py:178-189)
-        lr_enc = model.preprocess(model.params, lq)
+        lr_enc = pre(model.params, lq)
         for heat in heats:
             for i in range(n_sample):
                 key, sub = jax.random.split(key)
                 z = model.sample_z(sub, heat, lq.shape[0], lq.shape[1:3])
-                sr, _ = model.reverse_flow(model.params, lq, z=z, eps_std=heat,
-                                           key=sub, lr_enc=lr_enc)
+                sr = rev(model.params, lq, z, jnp.float32(heat), sub, lr_enc)
                 samples[(heat, i)] = np.asarray(jnp.clip(sr, 0, 1))[0]
         key, sub = jax.random.split(key)
-        _, nll, _ = model.normal_flow(model.params, gt, lq, key=sub,
-                                      add_gt_noise=True, lr_enc=lr_enc)
+        nll = nfl(model.params, gt, lq, sub, lr_enc)
         nlls.append(float(jnp.mean(nll)))
     return float(np.mean(nlls)), samples
 
