@@ -114,6 +114,8 @@ def sample_sr(model, lr_img01, heat=0.0, seed=0):
     lr = jnp.asarray(padded[None], jnp.float32)
     key = jax.random.PRNGKey(seed)
     z = model.sample_z(key, heat, 1, lr.shape[1:3])
-    sr = model.get_sr(model.params, lr, heat=heat, z=z, key=key)
+    sr = jax.jit(lambda p, x, z_, k: model.get_sr(p, x, heat=heat, z=z_,
+                                                  key=k))(
+        model.params, lr, z, key)
     s = model.scale
     return np.asarray(jnp.clip(sr, 0.0, 1.0))[0][: h * s, : w * s]
