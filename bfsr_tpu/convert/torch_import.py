@@ -230,6 +230,14 @@ def convert_srflow_unet(sd, depth=3):
     return out
 
 
+def convert_mlp(sd, prefix="layers."):
+    """Generic MLP (LINF-LP/models/mlp.py): nn.Sequential of Linear/ReLU;
+    linears sit at even sequential indices."""
+    idxs = sorted({int(k[len(prefix):].split(".")[0])
+                   for k in sd if k.startswith(prefix)})
+    return {"layers": [linear_p(sd, f"{prefix}{i}") for i in idxs]}
+
+
 def convert_edsr_latent(sd, n_resblocks=16):
     return {
         "input_proj": _dense5(sd, "input_proj"),

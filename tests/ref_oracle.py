@@ -110,6 +110,32 @@ def linf_modules(*names):
 
 
 @contextmanager
+def linf_utils():
+    """Yield the reference LINF-LP/utils.py module (calc_psnr,
+    calculate_ssim, make_coord, ...).  Only tensorboardX needs a stub —
+    cv2 and torch are present in the image."""
+    fake_tbx = types.ModuleType("tensorboardX")
+
+    class _FakeWriter:  # never instantiated by the metric fns
+        def __init__(self, *a, **k):
+            pass
+
+    fake_tbx.SummaryWriter = _FakeWriter
+    new = {"tensorboardX": fake_tbx} if "tensorboardX" not in sys.modules else {}
+    new["utils"] = None  # force re-import of the reference module under 'utils'
+    saved_utils = sys.modules.pop("utils", None)
+    del new["utils"]
+    with _scoped_modules(new, [LINF_ROOT]):
+        try:
+            mod = importlib.import_module("utils")
+            yield mod
+        finally:
+            sys.modules.pop("utils", None)
+            if saved_utils is not None:
+                sys.modules["utils"] = saved_utils
+
+
+@contextmanager
 def srflow_modules(*names):
     """Yield imported SRFlow-LP module files, e.g.
     srflow_modules('models.modules.SRFlowNet_arch')."""

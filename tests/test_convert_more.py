@@ -81,3 +81,24 @@ def test_rrdb_with_upsampling_parity(rng):
     ours_model.load_params(params)
     ours = ours_model(_nhwc(x))
     np.testing.assert_allclose(_t(ours), ref, atol=3e-5)
+
+
+def test_mlp_parity(rng):
+    """MLP (A12) numeric parity vs the reference torch module
+    (LINF-LP/models/mlp.py:6) — round-2 verdict Weak #7."""
+    with linf_modules("mlp") as m:
+        torch.manual_seed(4)
+        net = m["mlp"].MLP(in_dim=5, out_dim=4, hidden_list=[16, 8])
+        net.eval()
+        x = rng.random((2, 7, 5)).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.from_numpy(x)).numpy()
+    import bfsr_tpu.models  # noqa: F401
+    from bfsr_tpu import registry
+
+    ours_model = registry.make({"name": "mlp",
+                                "args": {"in_dim": 5, "out_dim": 4,
+                                         "hidden_list": [16, 8]}})
+    ours_model.load_params(cv.convert_mlp(net.state_dict()))
+    ours = ours_model(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
