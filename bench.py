@@ -202,6 +202,58 @@ def run_multichip_bench(dp=None):
     return mps, mps / dp, n_dev
 
 
+def run_srflow_multichip_bench(dp=None):
+    """dp-sharded SRFlow-LP eval: one LR 128x128 image per device via
+    shard_map over the full predictor body (encode -> standardize -> prior
+    -> decode).  Pod-slice ready; dp=1 on a single chip."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import bfsr_tpu.models  # noqa: F401
+    from bfsr_tpu import registry
+    from bfsr_tpu.parallel.mesh import make_mesh, replicate
+    from bfsr_tpu.pipelines.srflow_eval import SRFlowLPPredictor
+
+    n_dev = len(jax.devices())
+    dp = dp or n_dev
+    mesh = make_mesh({"dp": dp})
+
+    model = registry.make({"name": "srflow", "args": dict(_SRFLOW_ARGS)}).freeze()
+    prior = registry.make({"name": "srflow-unet", "args": {"depth": 3, "dim": 64}})
+    predictor = SRFlowLPPredictor(model, prior)
+
+    rng = np.random.default_rng(0)
+    B = dp
+    lr = rng.random((B, LR_SIZE, LR_SIZE, 3)).astype(np.float32)
+
+    with mesh:
+        lr_s = jax.device_put(lr, NamedSharding(mesh, P("dp")))
+        mp = replicate(model.params, mesh)
+        pp = replicate(prior.params, mesh)
+        sharded_predict = jax.jit(shard_map(
+            predictor._impl, mesh=mesh, in_specs=(P(), P(), P("dp")),
+            out_specs=P("dp"), check_vma=False))
+
+        def once():
+            return sharded_predict(mp, pp, lr_s)
+
+        out = once()
+        assert {s.data.shape[0] for s in out.addressable_shards} == {B // dp}
+        for _ in range(WARMUP):
+            np.asarray(out[0, 0, 0, 0])
+            out = once()
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = once()
+        np.asarray(out[0, 0, 0, 0])
+        dt = (time.perf_counter() - t0) / ITERS
+    H = LR_SIZE * SCALE
+    mps = B * H * H / dt / 1e6
+    return mps, mps / dp, n_dev
+
+
 _SRFLOW_ARGS = {"in_nc": 3, "out_nc": 3, "nf": 64, "nb": 23, "scale": 4,
                 "K": 16, "L": 3, "hidden_channels": 64, "additional_steps": 2,
                 "split_enable": True, "stack_blocks": (1, 8, 15, 22),
@@ -382,6 +434,9 @@ def main():
                         help="patch-model (ps=3) throughput line")
     parser.add_argument("--srflow", action="store_true",
                         help="SRFlow-LP pipeline throughput line")
+    parser.add_argument("--multichip-srflow", action="store_true",
+                        help="dp-sharded SRFlow-LP eval throughput over all "
+                             "devices (pod-slice ready; dp=1 on one chip)")
     parser.add_argument("--measure-srflow-baseline", action="store_true")
     args = parser.parse_args()
 
@@ -420,6 +475,17 @@ def main():
             "value": round(mps, 3),
             "unit": "MP/s/chip",
             "sec_per_516x516_image": round(dt, 4),
+        }))
+        return
+
+    if args.multichip_srflow:
+        mps, per_dev, n_dev = run_srflow_multichip_bench(args.dp)
+        print(json.dumps({
+            "metric": "srflow_lp_4x_sr_throughput_multichip",
+            "value": round(mps, 3),
+            "unit": "MP/s",
+            "per_device": round(per_dev, 3),
+            "n_devices": n_dev,
         }))
         return
 

@@ -49,6 +49,13 @@ def shard_batch(batch, mesh, specs):
     return out
 
 
+def batch_specs_srflow():
+    """PartitionSpecs for an SRFlow training batch (GT/LQ image pairs):
+    batch over dp — the reference's only parallelism axis (SURVEY §5.8,
+    SRFlow-LP/code/models/SRFlow_model.py:42-53)."""
+    return {"GT": P("dp"), "LQ": P("dp")}
+
+
 def batch_specs_linf(sp=None):
     """Default PartitionSpecs for a LINF-LP training batch: batch over dp,
     HR query rows over sp (when given)."""
