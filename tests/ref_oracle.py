@@ -109,6 +109,88 @@ def linf_modules(*names):
         yield mods
 
 
+def _fake_torchvision():
+    """Minimal torchvision.transforms shim (ToPILImage/Resize/ToTensor —
+    the only pieces the reference dataset wrappers use, wrappers.py:241-244)
+    implemented on PIL, matching real torchvision semantics."""
+    import torch
+    from PIL import Image as PILImage
+
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class ToPILImage:
+        def __call__(self, pic):
+            if isinstance(pic, torch.Tensor):
+                if pic.is_floating_point():
+                    pic = pic.mul(255).byte()
+                arr = pic.permute(1, 2, 0).numpy()
+            else:
+                arr = pic
+            return PILImage.fromarray(arr)
+
+    class Resize:
+        def __init__(self, size, interpolation=PILImage.BILINEAR):
+            self.size = size
+            self.interpolation = interpolation
+
+        def __call__(self, img):
+            if isinstance(self.size, int):
+                w, h = img.size
+                if h <= w:
+                    oh, ow = self.size, max(1, round(self.size * w / h))
+                else:
+                    ow, oh = self.size, max(1, round(self.size * h / w))
+            else:
+                oh, ow = self.size
+            return img.resize((ow, oh), self.interpolation)
+
+    class ToTensor:
+        def __call__(self, img):
+            import numpy as np
+
+            arr = np.asarray(img, dtype=np.uint8)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(arr.transpose(2, 0, 1).copy())
+            return t.float().div(255.0)
+
+    transforms.ToPILImage = ToPILImage
+    transforms.Resize = Resize
+    transforms.ToTensor = ToTensor
+    tv.transforms = transforms
+    return {"torchvision": tv, "torchvision.transforms": transforms}
+
+
+@contextmanager
+def linf_dataset_modules(*names):
+    """Yield imported LINF-LP dataset modules, e.g.
+    linf_dataset_modules('wrappers').  Shims torchvision (not in the image)
+    and routes 'utils' to the reference's utils.py (tensorboardX shimmed)."""
+    fake_ds = types.ModuleType("datasets")
+    fake_ds.__path__ = [os.path.join(LINF_ROOT, "datasets")]
+    fake_tbx = types.ModuleType("tensorboardX")
+    fake_tbx.SummaryWriter = type("SummaryWriter", (), {})
+    mods_map = {"datasets": fake_ds}
+    if "tensorboardX" not in sys.modules:
+        mods_map["tensorboardX"] = fake_tbx
+    if "torchvision" not in sys.modules:
+        mods_map.update(_fake_torchvision())
+    saved_utils = sys.modules.pop("utils", None)
+    with _scoped_modules(mods_map, [LINF_ROOT]):
+        try:
+            reg = importlib.import_module("datasets.datasets")
+            fake_ds.register = reg.register
+            fake_ds.make = reg.make
+            fake_ds.datasets = reg
+            mods = {n: importlib.import_module(f"datasets.{n}") for n in names}
+            yield mods
+        finally:
+            sys.modules.pop("utils", None)
+            if saved_utils is not None:
+                sys.modules["utils"] = saved_utils
+
+
 @contextmanager
 def linf_utils():
     """Yield the reference LINF-LP/utils.py module (calc_psnr,
