@@ -93,8 +93,11 @@ class GrainLoader:
         )
 
     def __len__(self):
-        n = (len(self.dataset) // self._shard[1] if self.drop_last
-             else -(-len(self.dataset) // self._shard[1]))
+        # Measured grain semantics (0.2.15): the DataLoader yields exactly
+        # floor(n/count) records on EVERY shard regardless of ShardOptions'
+        # drop_remainder (uneven-shard extras never surface), so all hosts
+        # see the same step count; drop_last only governs the partial batch.
+        n = len(self.dataset) // self._shard[1]
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)

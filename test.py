@@ -25,6 +25,47 @@ from bfsr_tpu.data.loader import DataLoader
 from bfsr_tpu.pipelines.linf_eval import eval_psnr
 
 
+def _warmup_lr_shapes(wrapper, spec, limit):
+    """LR shapes for --warmup from image file HEADERS (PIL reads the size
+    without decoding pixels), so the pre-pass doesn't decode the whole
+    dataset once before the metric sweep.  Returns None when shapes can't
+    be derived without decoding (non-path caches, random scales) — the
+    caller then falls back to iterating the loader."""
+    import math
+
+    wname = spec["wrapper"]["name"]
+    wargs = spec["wrapper"].get("args") or {}
+    if wargs.get("inp_size"):
+        n = int(wargs["inp_size"])
+        return [(n, n)]
+    src = getattr(wrapper, "dataset", None)
+    if "paired" in wname:
+        files = getattr(getattr(src, "dataset_1", None), "files", None)
+        scale = None
+    elif "downsampled" in wname:
+        s_min = wargs.get("scale_min", 1)
+        if wargs.get("scale_max", s_min) != s_min:
+            return None  # random per-item scale: shape needs the draw
+        scale = float(s_min)
+        files = getattr(src, "files", None)
+    else:
+        return None
+    if not files:
+        return None
+    if limit is not None:
+        files = files[:limit]
+    shapes = []
+    for f in files:
+        if not isinstance(f, str) or f.endswith(".pkl"):
+            return None
+        w, h = Image.open(f).size  # header only, no decode
+        if scale:
+            h = math.floor(h / scale + 1e-9)
+            w = math.floor(w / scale + 1e-9)
+        shapes.append((h, w))
+    return shapes
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -112,11 +153,15 @@ def main():
     if args.warmup:
         from bfsr_tpu.pipelines.linf_eval import warmup_predictor
 
-        shapes = []
-        for i, batch in enumerate(loader):
-            if args.limit is not None and i >= args.limit:
-                break
-            shapes.append(tuple(batch["inp"].shape[1:3]))
+        shapes = _warmup_lr_shapes(dataset, spec, args.limit)
+        if shapes is None:
+            # fallback: decode via the loader (in-memory/bin caches or
+            # random-scale wrappers, where headers can't give the shape)
+            shapes = []
+            for i, batch in enumerate(loader):
+                if args.limit is not None and i >= args.limit:
+                    break
+                shapes.append(tuple(batch["inp"].shape[1:3]))
         eval_type = config.get("eval_type")
         warmup_scale = (int(args.scale_max) if eval_type is None
                         else int(eval_type.split("-")[-1]))

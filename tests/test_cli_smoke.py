@@ -79,6 +79,60 @@ def test_train_one_epoch_and_eval(tiny_dataset, tmp_path):
     assert np.isfinite(res)
 
 
+def test_warmup_lr_shapes_from_headers(tiny_dataset, tmp_path):
+    """test.py --warmup derives LR shapes from PNG headers (no full-dataset
+    decode); must agree with the shapes the loader actually yields, and
+    fall back (None) when the shape needs the per-item random scale draw."""
+    from test import _warmup_lr_shapes
+    from bfsr_tpu import registry
+    from bfsr_tpu.data.loader import DataLoader
+
+    # fixed-scale downsampled wrapper: floor(header/scale)
+    spec = {"dataset": {"name": "image-folder",
+                        "args": {"root_path": tiny_dataset}},
+            "wrapper": {"name": "sr-implicit-downsampled-fast",
+                        "args": {"scale_min": 2, "scale_max": 2}},
+            "batch_size": 1}
+    ds = registry.make(spec["dataset"])
+    w = registry.make(spec["wrapper"], args={"dataset": ds})
+    shapes = _warmup_lr_shapes(w, spec, limit=2)
+    actual = [tuple(b["inp"].shape[1:3])
+              for _, b in zip(range(2), DataLoader(w, batch_size=1,
+                                                   num_workers=1))]
+    assert shapes == actual == [(32, 32), (32, 32)]
+
+    # random scale range -> can't know without decoding -> fallback
+    spec_r = {**spec, "wrapper": {"name": "sr-implicit-downsampled-fast",
+                                  "args": {"scale_min": 2, "scale_max": 4}}}
+    w_r = registry.make(spec_r["wrapper"], args={"dataset": ds})
+    assert _warmup_lr_shapes(w_r, spec_r, limit=2) is None
+
+    # paired folders: the LR file's own header size
+    lr_dir = tmp_path / "lr"
+    lr_dir.mkdir()
+    rng = np.random.default_rng(1)
+    Image.fromarray((rng.random((17, 23, 3)) * 255).astype(np.uint8)).save(
+        lr_dir / "0000.png")
+    hr_dir = tmp_path / "hr"
+    hr_dir.mkdir()
+    Image.fromarray((rng.random((34, 46, 3)) * 255).astype(np.uint8)).save(
+        hr_dir / "0000.png")
+    spec_p = {"dataset": {"name": "paired-image-folders",
+                          "args": {"root_path_1": str(lr_dir),
+                                   "root_path_2": str(hr_dir)}},
+              "wrapper": {"name": "sr-implicit-paired-fast", "args": {}},
+              "batch_size": 1}
+    dsp = registry.make(spec_p["dataset"])
+    wp = registry.make(spec_p["wrapper"], args={"dataset": dsp})
+    assert _warmup_lr_shapes(wp, spec_p, None) == [(17, 23)]
+
+    # fixed inp_size: one crop shape, no file access needed
+    spec_i = {**spec, "wrapper": {"name": "sr-implicit-downsampled-fast",
+                                  "args": {"inp_size": 8, "scale_min": 2,
+                                           "scale_max": 2}}}
+    assert _warmup_lr_shapes(w, spec_i, None) == [(8, 8)]
+
+
 def test_warmup_predictor_buckets(tiny_dataset):
     """warmup_predictor compiles one program per padded shape bucket and
     dedupes collisions."""

@@ -60,6 +60,19 @@ def test_host_sharding_disjoint_and_complete():
                            shard_count=2)) == 3
 
 
+@pytest.mark.parametrize("n,count,bs,drop", [(13, 3, 2, False), (13, 3, 2, True),
+                                             (12, 3, 2, False), (14, 4, 3, False)])
+def test_len_matches_iteration_per_shard(n, count, bs, drop):
+    """len() must equal the number of batches grain actually yields on EVERY
+    shard — measured: the DataLoader yields floor(n/count) records per shard
+    even with drop_remainder=False, so a ceil-based len() overstates the
+    step count and desyncs steps-per-epoch bookkeeping across hosts."""
+    for idx in range(count):
+        ld = GrainLoader(_DS(n), batch_size=bs, shuffle=False, seed=0,
+                         shard_index=idx, shard_count=count, drop_last=drop)
+        assert len(ld) == sum(1 for _ in ld), (idx, count)
+
+
 def test_make_loader_backends():
     g = make_loader(_DS(), backend="grain", batch_size=2, shard_index=0,
                     shard_count=1)
