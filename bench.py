@@ -294,6 +294,116 @@ def run_srflow_bench():
     return H * H / dt / 1e6, dt
 
 
+def _dezero(params, seed=7, scale=0.05):
+    """Replace all-zero >=2D param leaves (the flow's zero-initialized
+    fFeatures/fAffine/split out-convs, Flow.py Conv2dZeros) with small
+    random values.  On a random-init model those zeros make the entire
+    conditioning CONSTANT (scale_ft = sigmoid(2), shift_ft = 0), so a
+    precision sweep would measure only the prior UNet; de-zeroing makes
+    every pipeline stage numerically live, approximating a trained
+    checkpoint's sensitivity structure."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rng = np.random.default_rng(seed)
+    out = []
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        if arr.ndim >= 2 and arr.size and not arr.any():
+            # fan-in-normalized noise: conditioning features reach O(50-100)
+            # on random-init RRDB, so unnormalized noise saturates the
+            # affine scales / blows up the epses
+            fan_in = int(np.prod(arr.shape[:-1]))
+            arr = (rng.standard_normal(arr.shape) * scale
+                   / np.sqrt(fan_in)).astype(arr.dtype)
+            out.append(arr)
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _balance_flow(params):
+    """Set each coupling step's actnorm logs to cancel the mean coupling
+    scale sigmoid(2) ~ 0.8808 (fFeatures full-channel + fAffine on half
+    the channels -> 1.5x log per channel on average; the invconv rotation
+    mixes channels, so a uniform compensation suffices).  Trained
+    checkpoints LEARN this balance; a random init lacks it, so its
+    reverse pass amplifies ~1/0.88 per step and overflows at K=16*3."""
+    import jax.numpy as jnp
+
+    comp = -1.5 * float(np.log(0.8808))
+    layers = []
+    for p in params["flow"]["layers"]:
+        if "affine" in p and "actnorm" in p:
+            p = dict(p)
+            an = dict(p["actnorm"])
+            an["logs"] = jnp.full_like(an["logs"], comp)
+            p["actnorm"] = an
+        layers.append(p)
+    out = dict(params)
+    out["flow"] = dict(params["flow"], layers=layers)
+    return out
+
+
+def run_precision_delta(which):
+    """Serving-mode (bf16, BFSR_PRECISION=default) vs HIGH (f32-accurate)
+    output delta for the full pipeline — the number that justifies the
+    serving rows in BENCH_NOTES.  Builds the model fresh under each mode
+    (precision is read at trace time) and runs the identical input.
+    Returns (max_abs, rms, agreement_db) where agreement_db is the PSNR
+    between the two outputs on the [0,1] pixel scale."""
+    import jax.numpy as jnp
+
+    from bfsr_tpu.ops.nn import set_default_precision, default_precision
+
+    rng = np.random.default_rng(0)
+    if which == "srflow":
+        lr = rng.random((1, LR_SIZE, LR_SIZE, 3)).astype(np.float32)
+    else:
+        from bfsr_tpu.utils.coords import make_coord_np, make_cell
+
+        inp, gt_lr_up, H, W = _workload(rng)
+        coord = jnp.asarray(make_coord_np((H, W), flatten=False)[None])
+        cell = jnp.asarray(make_cell((H, W))[None])
+
+    saved = default_precision()
+    outs = {}
+    try:
+        for mode in ("high", "default"):
+            set_default_precision(mode)
+            if which == "srflow":
+                import bfsr_tpu.models  # noqa: F401
+                from bfsr_tpu import registry
+                from bfsr_tpu.pipelines.srflow_eval import SRFlowLPPredictor
+
+                model = registry.make({"name": "srflow",
+                                       "args": dict(_SRFLOW_ARGS)})
+                model.params = _balance_flow(_dezero(model.params))
+                model.freeze()
+                prior = registry.make({"name": "srflow-unet",
+                                       "args": {"depth": 3, "dim": 64}})
+                prior.params = _dezero(prior.params)
+                predictor = SRFlowLPPredictor(model, prior)
+                outs[mode] = np.asarray(
+                    predictor._fn(model.params, prior.params, jnp.asarray(lr)))
+            else:
+                from __graft_entry__ import _flagship
+                from bfsr_tpu.pipelines.linf_eval import LINFPredictor
+
+                model, prior = _flagship()
+                predictor = LINFPredictor(model, prior, tile_queries=65536)
+                outs[mode] = np.asarray(
+                    predictor.predict(model.params, prior.params,
+                                      jnp.asarray(inp), coord, cell,
+                                      jnp.asarray(gt_lr_up)))
+    finally:
+        set_default_precision(saved)
+    d = (outs["high"].astype(np.float64) - outs["default"].astype(np.float64))
+    mse = float(np.mean(d * d))
+    return float(np.abs(d).max()), float(np.sqrt(mse)), \
+        float(10.0 * np.log10(1.0 / max(mse, 1e-30)))
+
+
 def measure_srflow_torch_baseline():
     """Reference SRFlow-LP pipeline (torch, CPU): encode -> standardize ->
     two-branch prior -> decode on the identical LR 128x128 workload
@@ -438,7 +548,21 @@ def main():
                         help="dp-sharded SRFlow-LP eval throughput over all "
                              "devices (pod-slice ready; dp=1 on one chip)")
     parser.add_argument("--measure-srflow-baseline", action="store_true")
+    parser.add_argument("--precision-delta", choices=["linf", "srflow"],
+                        help="measure serving-mode (bf16) vs HIGH output "
+                             "delta for the given pipeline")
     args = parser.parse_args()
+
+    if args.precision_delta:
+        mx, rms, db = run_precision_delta(args.precision_delta)
+        print(json.dumps({
+            "metric": f"{args.precision_delta}_serving_vs_high_delta",
+            "value": round(db, 1),
+            "unit": "dB agreement",
+            "max_abs": float(f"{mx:.3g}"),
+            "rms": float(f"{rms:.3g}"),
+        }))
+        return
 
     if args.measure_srflow_baseline:
         mps, dt = measure_srflow_torch_baseline()

@@ -105,13 +105,10 @@ def validate(model, batches, heats=(0.0, 0.5, 0.75, 1.0), n_sample=3, seed=0,
     return float(np.mean(nlls)), samples
 
 
-_SAMPLE_FNS = {}
-
-
 def sample_sr(model, lr_img01, heat=0.0, seed=0):
     """Plain SRFlow sampling at temperature `heat` (SRFlow_model.get_sr).
 
-    The jitted decode is cached per model (heat rides in as a traced
+    The jitted decode is cached ON the model (heat rides in as a traced
     scalar) so repeated calls dispatch the compiled program instead of
     retracing a fresh jit wrapper every time."""
     h, w = lr_img01.shape[:2]
@@ -121,11 +118,11 @@ def sample_sr(model, lr_img01, heat=0.0, seed=0):
     lr = jnp.asarray(padded[None], jnp.float32)
     key = jax.random.PRNGKey(seed)
     z = model.sample_z(key, heat, 1, lr.shape[1:3])
-    fn = _SAMPLE_FNS.get(id(model))
+    fn = getattr(model, "_sample_sr_fn", None)
     if fn is None:
         fn = jax.jit(lambda p, x, z_, h_, k: model.get_sr(p, x, heat=h_,
                                                           z=z_, key=k))
-        _SAMPLE_FNS[id(model)] = fn
+        model._sample_sr_fn = fn
     sr = fn(model.params, lr, z, jnp.float32(heat), key)
     s = model.scale
     return np.asarray(jnp.clip(sr, 0.0, 1.0))[0][: h * s, : w * s]
