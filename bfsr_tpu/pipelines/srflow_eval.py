@@ -61,6 +61,72 @@ class SRFlowLPPredictor:
         return sr[: h * s, : w * s]
 
 
+class SRFlowSpatialPredictor:
+    """ONE image spatially sharded across devices (image width over a mesh
+    axis) — the reference's DataParallel can only put different images on
+    different GPUs (SRFlow_model.py:42-53); this puts one DIV2K-size image
+    on a whole slice.
+
+    TPU-native design: instead of hand-written halo exchanges, the
+    existing predictor body is jitted with W-sharded in/out shardings and
+    XLA's SPMD partitioner inserts collective-permute halo exchanges for
+    every conv (the conditioning cache uses the plain NHWC form — the
+    phase-decomposed s2d level-1 cache hand-places border rings, which
+    would partition as scattered updates).  Verified sharded == unsharded
+    in tests/test_sharded.py; the compiled module's collectives are
+    inspectable via ``.lowered.compile()``.
+    """
+
+    def __init__(self, model, prior_model, mesh, axis="sp"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.model = model
+        self.prior = prior_model
+        self.mesh = mesh
+        self.axis = axis
+        self.n_shards = mesh.shape[axis]
+        rep = NamedSharding(mesh, P())
+        col = NamedSharding(mesh, P(None, None, axis, None))
+        self._fn = jax.jit(self._impl, in_shardings=(rep, rep, col),
+                           out_shardings=col)
+
+    def _impl(self, params, prior_params, lr):
+        from bfsr_tpu.models.srflow import flow_upsampler as fup
+
+        model = self.model
+        s = model.scale
+        h, w = lr.shape[1], lr.shape[2]
+        lr_up = resize_bilinear(lr, (h * s, w * s))
+        lr_enc = model.preprocess(params, lr)
+        ft_cache = fup.precompute_ft(params["flow"], model.plan,
+                                     model._conds(lr_enc), lvl1_s2d=False)
+        epses, _, _ = model.normal_flow(params, lr_up, lr, add_gt_noise=False,
+                                        lr_enc=lr_enc, ft_cache=ft_cache)
+        epses = standardize_epses(epses)
+        learned = self.prior.apply(prior_params, epses)
+        sr, _ = model.reverse_flow(params, lr, epses=learned,
+                                   add_gt_noise=False, lr_enc=lr_enc,
+                                   ft_cache=ft_cache)
+        return sr
+
+    def predict(self, lr_img01):
+        """lr_img01: (h, w, 3) float [0,1] numpy.  Pads W so every flow
+        level and prior stage shards evenly (multiple of 8 * n_shards),
+        H to the %2 protocol pad.  Returns SR numpy [0,1]."""
+        h, w = lr_img01.shape[:2]
+        mw = 8 * self.n_shards
+        pad_h = int(np.ceil(h / 2) * 2 - h)
+        pad_w = int(np.ceil(w / mw) * mw - w)
+        padded = np.pad(lr_img01, ((0, pad_h), (0, pad_w), (0, 0)),
+                        "symmetric")
+        with self.mesh:
+            sr = self._fn(self.model.params, self.prior.params,
+                          jnp.asarray(padded[None], jnp.float32))
+        sr = np.asarray(jnp.clip(sr, 0.0, 1.0))[0]
+        s = self.model.scale
+        return sr[: h * s, : w * s]
+
+
 def validate(model, batches, heats=(0.0, 0.5, 0.75, 1.0), n_sample=3, seed=0,
              limit=None):
     """Validation mirror of SRFlowModel.test() (SRFlow_model.py:178-189):

@@ -236,3 +236,39 @@ def test_srflow_shard_map_b1_predict_matches(rng):
         assert {s.data.shape[0] for s in out.addressable_shards} == {1}
     np.testing.assert_allclose(np.asarray(out), np.concatenate(refs),
                                atol=1e-4)
+
+
+def test_srflow_spatial_predict_matches_single(rng):
+    """ONE image sharded over W across all 8 devices (GSPMD spatial
+    partitioning of the full SRFlow-LP predictor): matches the unsharded
+    predictor, stays W-sharded end-to-end, and the partitioner emits
+    halo exchanges (collective-permute), not full-image all-gathers."""
+    from bfsr_tpu.pipelines.srflow_eval import (SRFlowLPPredictor,
+                                                SRFlowSpatialPredictor)
+
+    m = _tiny_srflow().freeze()
+    prior = registry.make({"name": "srflow-unet", "args": {"depth": 2, "dim": 8}})
+    lr = rng.random((64, 64, 3)).astype(np.float32)
+
+    ref = SRFlowLPPredictor(m, prior).predict(lr)
+
+    mesh = make_mesh({"sp": 8})
+    sp = SRFlowSpatialPredictor(m, prior, mesh, axis="sp")
+    out = sp.predict(lr)
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    # the device array must be genuinely W-sharded (one column block each)
+    with mesh:
+        dev_out = sp._fn(m.params, prior.params,
+                         jnp.asarray(lr[None], jnp.float32))
+    shapes = {s_.data.shape for s_ in dev_out.addressable_shards}
+    H = lr.shape[0] * m.scale
+    W = lr.shape[1] * m.scale
+    assert shapes == {(1, H, W // 8, 3)}, shapes
+
+    # partitioner evidence: halo exchanges present
+    with mesh:
+        hlo = (sp._fn.lower(m.params, prior.params,
+                            jnp.asarray(lr[None], jnp.float32))
+               .compile().as_text())
+    assert "collective-permute" in hlo
