@@ -58,37 +58,49 @@ def multi_step_restart(base_lr, milestones, gamma=0.5, restarts=(), restart_weig
 
 
 def cosine_restart(base_lr, t_period, eta_min=1e-7, restarts=(), restart_weights=()):
-    """CosineAnnealingLR_Restart (lr_scheduler.py:53-163)."""
-    periods = list(t_period)
-    weights = [1.0] + list(restart_weights)
-    if restarts:
-        bounds = []
-        acc = 0
-        for p in periods[:-1]:
-            acc += p
-            bounds.append(acc)
-        if sorted(restarts) != bounds:
-            raise ValueError(
-                f"restarts {sorted(restarts)} must sit at the cumulative "
-                f"T_period boundaries {bounds} (the reference's shipped usage)"
-            )
+    """CosineAnnealingLR_Restart (lr_scheduler.py:53-81), closed form.
+
+    Exact semantics of the recursive torch scheduler for ARBITRARY restart
+    positions (not only the cumulative-T_period boundaries the reference's
+    shipped confs use):
+
+    * segment i spans [restarts[i-1], restarts[i]) with period T_period[i]
+      and amplitude ``base_lr * restart_weights[i-1]`` (segment 0: weight 1;
+      T_period entries beyond ``len(restarts)+1`` are unused, as in torch);
+    * within a segment, lr = eta + (base*w - eta) * (1 + cos(pi*t/T)) / 2;
+    * if a segment outlives its period (t > T) the torch wrap branch
+      (the modular case in get_lr, which adds ``base_lrs``-scaled steps)
+      resets the amplitude to the UNWEIGHTED ``base_lr - eta`` and the
+      cosine keeps oscillating with period 2T.
+
+    Pure jnp piecewise math — trace-safe inside optax.scale_by_schedule.
+    """
+    periods = [float(p) for p in t_period]
+    restarts = list(restarts)
+    if restarts != sorted(restarts) or len(set(restarts)) != len(restarts):
+        raise ValueError(f"restarts must be strictly increasing: {restarts}")
+    if len(restarts) != len(restart_weights):
+        raise ValueError("restarts and their weights do not match.")
+    if len(periods) < len(restarts) + 1:
+        raise ValueError(
+            f"need len(T_period) >= len(restarts)+1 "
+            f"({len(periods)} < {len(restarts) + 1})"
+        )
+    seg_start = [0.0] + [float(r) for r in restarts]
+    weights = [1.0] + [float(w) for w in restart_weights]
 
     def schedule(step):
-        # Closed-form piecewise cosine: within period i (restarts at
-        # cumulative period boundaries — the reference's shipped usage),
-        # lr = eta_min + 0.5*(base_lr*w_i - eta_min)*(1 + cos(pi*t/T_i)).
-        # Pure jnp — safe inside optax.scale_by_schedule under jit.
         step = jnp.asarray(step, jnp.float32)
         lr = jnp.asarray(eta_min, jnp.float32)
-        last = 0.0
-        for i, p in enumerate(periods):
-            t = step - last
-            w = weights[min(i, len(weights) - 1)]
-            val = eta_min + 0.5 * (base_lr * w - eta_min) * (
-                1.0 + jnp.cos(jnp.pi * t / p)
-            )
-            lr = jnp.where((step >= last) & (step < last + p), val, lr)
-            last += p
+        for i, start in enumerate(seg_start):
+            T = periods[i]
+            t = step - start
+            amp = jnp.where(t <= T, base_lr * weights[i], base_lr) - eta_min
+            val = eta_min + 0.5 * amp * (1.0 + jnp.cos(jnp.pi * t / T))
+            in_seg = step >= start
+            if i + 1 < len(seg_start):
+                in_seg = in_seg & (step < seg_start[i + 1])
+            lr = jnp.where(in_seg, val, lr)
         return lr
 
     return schedule

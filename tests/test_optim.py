@@ -95,9 +95,58 @@ def test_cosine_restart_torch_oracle():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
 
 
-def test_cosine_restart_rejects_misaligned_restarts():
+def test_cosine_restart_misaligned_torch_oracle():
+    """Restarts NOT at cumulative T_period boundaries (the general case the
+    torch scheduler supports beyond the shipped confs): a restart arriving
+    mid-cosine, a weight != 1, and a final segment that outlives its period
+    (exercising the wrap branch's unweighted amplitude)."""
+    import sys
+    sys.path.insert(0, "/root/reference/SRFlow-LP/code/models")
+    try:
+        from lr_scheduler import CosineAnnealingLR_Restart
+    finally:
+        sys.path.pop(0)
+
+    t_period = [80, 50, 60]
+    restarts = [50, 130]
+    weights = [0.5, 0.25]
+    n = 320  # runs 130 steps past the last restart (> T=60: wrap branch)
+    ref = _torch_lr_sweep(
+        lambda o: CosineAnnealingLR_Restart(o, t_period, eta_min=1e-7,
+                                            restarts=restarts, weights=weights),
+        n,
+    )
+    sch = cosine_restart(1.0, t_period, eta_min=1e-7, restarts=restarts,
+                         restart_weights=weights)
+    ours = np.asarray([float(sch(t)) for t in range(n)])
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_cosine_no_restarts_oscillates_torch_oracle():
+    """restarts=None: torch keeps T_period[0] forever and the recursion
+    oscillates with period 2*T past the first minimum."""
+    import sys
+    sys.path.insert(0, "/root/reference/SRFlow-LP/code/models")
+    try:
+        from lr_scheduler import CosineAnnealingLR_Restart
+    finally:
+        sys.path.pop(0)
+
+    ref = _torch_lr_sweep(
+        lambda o: CosineAnnealingLR_Restart(o, [40, 999], eta_min=1e-7),
+        150,
+    )
+    sch = cosine_restart(1.0, [40, 999], eta_min=1e-7)
+    ours = np.asarray([float(sch(t)) for t in range(150)])
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_cosine_restart_rejects_bad_specs():
     with pytest.raises(ValueError):
-        cosine_restart(1.0, [100, 100], restarts=[50], restart_weights=[1.0])
+        cosine_restart(1.0, [100], restarts=[50], restart_weights=[1.0])
+    with pytest.raises(ValueError):
+        cosine_restart(1.0, [100, 100, 100], restarts=[60, 50],
+                       restart_weights=[1.0, 1.0])
 
 
 @pytest.mark.parametrize("make_sch", [
