@@ -222,17 +222,25 @@ def dense5c_s2d(xs_blocks, block_sizes, p):
     return blocks[-1]
 
 
-def double_conv_s2d(xs_blocks, block_sizes, p):
-    """Eval-mode DoubleConv (conv+BN+lrelu x2), fused s2d Pallas."""
+def double_conv_s2d(xs_blocks, block_sizes, p, factors=(2, 2)):
+    """Eval-mode DoubleConv (conv+BN+lrelu x2), fused s2d Pallas.
+
+    factors=(2, 1) runs in the H-only s2d domain: for these Cout=64 convs
+    2*Cout already fills the 128 MXU lanes, and the axis-only phase
+    structure costs 2x MACs instead of the full 2x2 s2d's 4x."""
     from bfsr_tpu.ops.pallas.conv3x3 import fold_bn
     from bfsr_tpu.ops.pallas import s2d_conv as s2d
 
-    w1 = s2d.s2d_weight(p["conv1"]["w"], cin_split=list(block_sizes))
+    P = factors[0] * factors[1]
+    w1 = s2d.s2d_weight(p["conv1"]["w"], cin_split=list(block_sizes),
+                        factors=factors)
     s1, b1 = fold_bn(p["conv1"], p["bn1"])
-    h = s2d.conv3x3_s2d(list(xs_blocks), w1, scale=s1, bias=b1, act="lrelu")
-    w2 = s2d.s2d_weight(p["conv2"]["w"])
+    h = s2d.conv3x3_s2d(list(xs_blocks), w1, scale=s1, bias=b1, act="lrelu",
+                        phases=P)
+    w2 = s2d.s2d_weight(p["conv2"]["w"], factors=factors)
     s2_, b2 = fold_bn(p["conv2"], p["bn2"])
-    return s2d.conv3x3_s2d([h], w2, scale=s2_, bias=b2, act="lrelu")
+    return s2d.conv3x3_s2d([h], w2, scale=s2_, bias=b2, act="lrelu",
+                           phases=P)
 
 
 def unet_apply_fused(params, z, lr, depth=3):
@@ -264,17 +272,20 @@ def unet_apply_fused(params, z, lr, depth=3):
     lr_embed = dense_block5c(lr_embed, params["lr_proj_dense"])
     if lr_embed.shape[1:3] != z.shape[1:3]:
         lr_embed = resize_bilinear(lr_embed, z.shape[1:3], align_corners=False)
-    lr_s2d = s2d.space_to_depth(lr_embed)
+    lr_s2d = s2d.space_to_depth_h(lr_embed)
 
     dim2 = proj_s2d.shape[-1] // 4  # dim // 2
 
-    # inc DoubleConv on the implicit concat [proj, lr_embed]
-    inc_s2d = double_conv_s2d([proj_s2d, lr_s2d], [dim2, dim2], params["inc"])
-    inc_dim = inc_s2d.shape[-1] // 4
+    # inc DoubleConv on the implicit concat [proj, lr_embed] — H-only s2d:
+    # these are Cout=64 convs, so 2*Cout fills the MXU lanes at a 2x MAC
+    # trade (the full 2x2 domain costs 4x for no extra lane width)
+    inc_s2d = double_conv_s2d([s2d.full_to_h_s2d(proj_s2d), lr_s2d],
+                              [dim2, dim2], params["inc"], factors=(2, 1))
+    inc_dim = inc_s2d.shape[-1] // 2
 
     # down path (XLA: >=128 channels after the first pool)
     feats = [None]  # feats[0] stays in s2d for the final up stage
-    x = s2d.maxpool2x2_from_s2d(inc_s2d, inc_dim)
+    x = s2d.maxpool2x2_from_s2d_h(inc_s2d, inc_dim)
     bn_updates = {}
     for i, dp in enumerate(params["down"]):
         if i > 0:
@@ -282,7 +293,10 @@ def unet_apply_fused(params, z, lr, depth=3):
         x = double_conv(x, dp, False, bn_updates, ("down", i))
         feats.append(x)
 
-    # up path: all but the last stage on XLA
+    # up path: all but the last stage on XLA.  (Running the 64-out up[1]
+    # stage h-only s2d was measured SLOWER both at 512^2 and DIV2K — its
+    # 384-channel input concat VMEM-starves the kernel to 2-row tiles and
+    # the three relayouts eat the rest; XLA keeps it.)
     for i in range(depth - 1):
         up = params["up"][i]
         skip = feats[depth - 1 - i]
@@ -296,10 +310,10 @@ def unet_apply_fused(params, z, lr, depth=3):
     dw = W - x_up.shape[2]
     x_up = jnp.pad(x_up, ((0, 0), (dh // 2, dh - dh // 2),
                           (dw // 2, dw - dw // 2), (0, 0)))
-    x_s2d = s2d.space_to_depth(x_up)
+    x_s2d = s2d.space_to_depth_h(x_up)
     out_s2d = double_conv_s2d([inc_s2d, x_s2d], [inc_dim, x_up.shape[-1]],
-                              params["up"][depth - 1])
-    out = s2d.depth_to_space(out_s2d)
+                              params["up"][depth - 1], factors=(2, 1))
+    out = s2d.depth_to_space_h(out_s2d)
     return fnn.conv2d(out, params["outc"])
 
 

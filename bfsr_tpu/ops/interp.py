@@ -156,6 +156,69 @@ def _resize_axis_matrix(in_size, out_size, align_corners):
     return m
 
 
+def _resize_axis_banded(in_size, out_size, align_corners, chunk=256):
+    """Banded-block form of :func:`_resize_axis_matrix`.
+
+    The dense matrix has only 2 nonzeros per row but the matmul pays for
+    all ``in_size`` columns — O(out*in) work per axis, which blows up at
+    DIV2K extents (a 1020->2040 row resize over 678x64 data is ~400
+    GFLOPs dense vs ~12 banded).  Because the source positions are
+    monotone in the output index, any ``chunk`` consecutive output rows
+    read a contiguous input span of ~chunk*in/out+2 rows: the matrix is
+    block-banded with STATIC per-block offsets.  Same weights, same f32
+    accumulation (zero columns add exactly) — bitwise-identical output.
+
+    Returns (starts (G,), blocks (G, chunk, S)); block g applies to
+    x[starts[g] : starts[g]+S]; rows past out_size are zero.
+    """
+    import numpy as np
+
+    out_idx = np.arange(out_size, dtype=np.float32)
+    if align_corners and out_size > 1:
+        src = out_idx * np.float32((in_size - 1) / (out_size - 1))
+    else:
+        src = (out_idx + np.float32(0.5)) * np.float32(in_size / out_size) \
+            - np.float32(0.5)
+    src = np.clip(src, 0.0, np.float32(in_size - 1.0))
+    i0 = np.floor(src).astype(np.int32)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = (src - i0.astype(np.float32)).astype(np.float32)
+
+    G = -(-out_size // chunk)
+    starts = np.zeros((G,), np.int32)
+    S = 0
+    for g in range(G):
+        lo, hi = g * chunk, min((g + 1) * chunk, out_size)
+        s = int(i0[lo])
+        starts[g] = s
+        S = max(S, int(i1[hi - 1]) - s + 1)
+    starts = np.minimum(starts, max(0, in_size - S))
+    blocks = np.zeros((G, chunk, S), np.float32)
+    for g in range(G):
+        lo, hi = g * chunk, min((g + 1) * chunk, out_size)
+        r = np.arange(lo, hi)
+        blocks[g, r - lo, i0[r] - starts[g]] += 1.0 - w1[r]
+        blocks[g, r - lo, i1[r] - starts[g]] += w1[r]
+    return starts, jnp.asarray(blocks)
+
+
+def _resize_axis_apply_banded(x, in_size, out_size, align_corners, axis):
+    """Apply a 1-D linear resize along ``axis`` via the banded-block
+    matmul.  x: any rank; returns x with ``axis`` resized to out_size."""
+    starts, blocks = _resize_axis_banded(in_size, out_size, align_corners)
+    G, chunk, S = blocks.shape
+    sl = jnp.stack([jax.lax.slice_in_dim(x, int(s), int(s) + S, axis=axis)
+                    for s in starts])  # (G, ..., S, ...)
+    # move the sliced axis (now axis+1) to the end, contract, put back
+    sl = jnp.moveaxis(sl, axis + 1, -1)  # (G, ..., S)
+    out = jnp.einsum("grs,g...s->g...r", blocks, sl,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.moveaxis(out, -1, 1)      # (G, chunk, ...)
+    out = out.reshape((G * chunk,) + out.shape[2:])[:out_size]
+    return jnp.moveaxis(out, 0, axis)
+
+
 def resize_bilinear(x, out_hw, align_corners=False, method=None):
     """F.interpolate(mode='bilinear') equivalent. x: (B,H,W,C) -> (B,h,w,C).
 
@@ -169,14 +232,23 @@ def resize_bilinear(x, out_hw, align_corners=False, method=None):
     if method is None:
         method = "matmul" if jax.default_backend() == "tpu" else "gather"
     if method == "matmul":
-        my = _resize_axis_matrix(H, oh, align_corners)
-        mx = _resize_axis_matrix(W, ow, align_corners)
         hi = jax.lax.Precision.HIGHEST
-        xh = jnp.einsum("Oh,bhwc->bOwc", my, x,
-                        preferred_element_type=jnp.float32, precision=hi)
-        return jnp.einsum("Pw,bhwc->bhPc", mx, xh,
-                          preferred_element_type=jnp.float32,
-                          precision=hi).astype(x.dtype)
+
+        def one_axis(t, n_in, n_out, axis):
+            # banded when the contiguous input span per 256-output block is
+            # a small fraction of the axis (dense pays O(in*out) per axis,
+            # ~30x waste at DIV2K extents); identical values either way
+            if n_out >= 512 and n_in > 3 * (256 * n_in / n_out + 2):
+                return _resize_axis_apply_banded(t, n_in, n_out,
+                                                 align_corners, axis)
+            m = _resize_axis_matrix(n_in, n_out, align_corners)
+            t = jnp.moveaxis(t, axis, -1)
+            t = jnp.einsum("Os,...s->...O", m, t,
+                           preferred_element_type=jnp.float32, precision=hi)
+            return jnp.moveaxis(t, -1, axis)
+
+        xh = one_axis(x, H, oh, 1)
+        return one_axis(xh, W, ow, 2).astype(x.dtype)
     y0, y1, wy = _resize_axis_weights(H, oh, align_corners)
     x0, x1, wx = _resize_axis_weights(W, ow, align_corners)
     # height

@@ -29,7 +29,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_R = 8       # HR row quantum (predictor pads H to a multiple of this)
+T_R = 16      # HR row quantum (predictor pads H to a multiple of this, so
+              # the kernel can always run full 16-row tiles — DIV2K's 2040
+              # used to fall back to 8-row tiles, re-reading every LR
+              # window twice).  The kernel itself accepts any multiple of
+              # _ROW_Q.
+_ROW_Q = 8
 _MAX_TR = 16  # HR rows per tile (large: amortizes the LR-window DMA, which
               # otherwise re-reads the same rows for every small row tile)
 WT = 128      # HR col-tile quantum (predictor pads W to a multiple of this)
@@ -164,7 +169,7 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     h, w = coef.shape[1], coef.shape[2]
     H = coord_y.shape[0]
     W = coord_x.shape[0]
-    assert H % T_R == 0 and W % WT == 0, (H, W)
+    assert H % _ROW_Q == 0 and W % WT == 0, (H, W)
     scale_est = min(H / h, W / w)
     out_dim_early = params["mlp"][-1]["w"].shape[-1]
     rows_out_early = max(-(-out_dim_early // 8) * 8, 8)
@@ -174,7 +179,7 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     )
     tr = min(_MAX_TR, H)
     while H % tr:
-        tr -= T_R
+        tr -= _ROW_Q
 
     # the DMA window never needs to exceed the (128-padded) LR extent
     w128 = -(-w // 128) * 128
@@ -193,8 +198,8 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
                 + int(1.7 * tr_ * wt_ * C * 4))      # in-kernel temporaries
 
     budget = 15 * 1024 * 1024
-    while tr > T_R and _vmem_est(tr, wt, cw) > budget:
-        tr -= T_R
+    while tr > _ROW_Q and _vmem_est(tr, wt, cw) > budget:
+        tr -= _ROW_Q
     if W % 128 == 0:
         while wt > 128 and _vmem_est(tr, wt, cw) > budget:
             wt //= 2

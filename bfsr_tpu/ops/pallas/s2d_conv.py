@@ -45,49 +45,81 @@ def depth_to_space(y):
     return y.reshape(B, Hs * 2, Ws * 2, C)
 
 
-def _phase_map():
-    """Constant (9, 4, 4, 3, 3) binary map: s2d tap t=(ry,rx), in phase
-    p=(py,px), out phase q=(a,b) carries orig tap (dy, dx) =
-    (2ry+py-a, 2rx+px-b) when both lie in [-1, 1]; ~9/16 of the s2d
-    weight is structurally zero."""
-    m = np.zeros((9, 4, 4, 3, 3), np.float32)
-    for a in range(2):
-        for b in range(2):
-            q = a * 2 + b
-            for py in range(2):
-                for px in range(2):
-                    p = py * 2 + px
+def space_to_depth_h(x):
+    """(B, H, W, C) -> (B, H/2, W, 2C), phase-major: c' = py*C + c.
+    The H-only s2d domain for ``factors=(2, 1)`` convs."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W, C).transpose(0, 1, 3, 2, 4)
+    return x.reshape(B, H // 2, W, 2 * C)
+
+
+def depth_to_space_h(y):
+    """Inverse of :func:`space_to_depth_h`."""
+    B, Hs, W, C2 = y.shape
+    y = y.reshape(B, Hs, W, 2, C2 // 2).transpose(0, 1, 3, 2, 4)
+    return y.reshape(B, Hs * 2, W, C2 // 2)
+
+
+def full_to_h_s2d(x4):
+    """Relayout full 2x2 s2d (B, H/2, W/2, 4C) -> H-only s2d (B, H/2, W, 2C)
+    of the same original tensor (pure reshape/transpose)."""
+    B, Hs, Ws, C4 = x4.shape
+    C = C4 // 4
+    x = x4.reshape(B, Hs, Ws, 2, 2, C)           # (py, px, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5)            # B, Hs, (Ws, px), (py, c)
+    return x.reshape(B, Hs, Ws * 2, 2 * C)
+
+
+def _phase_map(ky=2, kx=2):
+    """Constant (9, ky*kx, ky*kx, 3, 3) binary map: s2d tap t=(ry,rx), in
+    phase p=(py,px), out phase q=(a,b) carries orig tap (dy, dx) =
+    (ky*ry+py-a, kx*rx+px-b) when both lie in [-1, 1].
+
+    The map is mostly structurally zero: a kxk s2d trades k(y)*k(x) extra
+    MACs for k(y)*k(x)-wider output lanes.  Axis-only s2d (ky=2, kx=1 /
+    ky=1, kx=2) trades only 2x MACs for 2x lanes — the better deal for
+    Cout=64 convs, where 2*Cout already fills the 128 MXU lanes."""
+    m = np.zeros((9, ky * kx, ky * kx, 3, 3), np.float32)
+    for a in range(ky):
+        for b in range(kx):
+            q = a * kx + b
+            for py in range(ky):
+                for px in range(kx):
+                    p = py * kx + px
                     for ry in (-1, 0, 1):
                         for rx in (-1, 0, 1):
-                            dy = 2 * ry + py - a
-                            dx = 2 * rx + px - b
+                            dy = ky * ry + py - a
+                            dx = kx * rx + px - b
                             if -1 <= dy <= 1 and -1 <= dx <= 1:
                                 m[(ry + 1) * 3 + rx + 1, p, q,
                                   dy + 1, dx + 1] = 1.0
     return m
 
 
-_PHASE_MAP = _phase_map()
+_PHASE_MAPS = {(2, 2): _phase_map(2, 2), (2, 1): _phase_map(2, 1),
+               (1, 2): _phase_map(1, 2)}
 
 
-def s2d_weight(w, cin_split=None):
+def s2d_weight(w, cin_split=None, factors=(2, 2)):
     """Transform (3, 3, Cin, Cout) conv weights into the s2d domain.
 
-    Returns a list of (9, 4*Ci, 4*Cout) f32 arrays, one per input block in
-    ``cin_split`` (default: one block of Cin).  Tap order: (dy*3+dx) over
-    the s2d-domain 3x3 kernel; channels phase-major (p*Ci+c / q*Cout+co).
-    Pure jnp (a constant-map einsum) so it traces under jit.
+    Returns a list of (9, P*Ci, P*Cout) f32 arrays (P = ky*kx), one per
+    input block in ``cin_split`` (default: one block of Cin).  Tap order:
+    (dy*3+dx) over the s2d-domain 3x3 kernel; channels phase-major
+    (p*Ci+c / q*Cout+co).  Pure jnp (a constant-map einsum) so it traces
+    under jit.
     """
     kh, kw, cin, cout = w.shape
     assert kh == 3 and kw == 3
     cin_split = list(cin_split) if cin_split is not None else [cin]
     assert sum(cin_split) == cin
+    P = factors[0] * factors[1]
     ws = jnp.einsum("yxco,tpqyx->tpcqo", w.astype(jnp.float32),
-                    jnp.asarray(_PHASE_MAP))  # (9, 4, Cin, 4, Cout)
+                    jnp.asarray(_PHASE_MAPS[tuple(factors)]))
     outs = []
     off = 0
     for ci in cin_split:
-        blk = ws[:, :, off:off + ci].reshape(9, 4 * ci, 4 * cout)
+        blk = ws[:, :, off:off + ci].reshape(9, P * ci, P * cout)
         outs.append(blk)
         off += ci
     return outs
@@ -151,20 +183,22 @@ def prepad(x):
 
 
 def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
-                passes=None, interpret=False):
+                passes=None, interpret=False, phases=4):
     """Fused 3x3 SAME conv over an implicit channel-concat of ``inputs``.
 
     ``passes=None`` follows the global precision mode: 3-pass bf16
     (== XLA HIGH) normally, single-pass in `BFSR_PRECISION=default`
     serving mode.
 
-    inputs: list of (1, Hs, Ws, 4*Ci) phase-major s2d tensors (f32), or
-    3-D (Hs+2, Ws+16, Cp) kernel-layout arrays from :func:`prepad` (the
+    inputs: list of (1, Hs, Ws, P*Ci) phase-major s2d tensors (f32, P =
+    ``phases``: 4 for full 2x2 s2d, 2 for axis-only), or 3-D
+    (Hs+2, Ws+16, Cp) kernel-layout arrays from :func:`prepad` (the
     two forms mix freely).
-    weights: list of (9, 4*Ci, 4*Cout) from :func:`s2d_weight`.
+    weights: list of (9, P*Ci, P*Cout) from :func:`s2d_weight` (pass the
+    matching ``factors``).
     scale/bias: (Cout,) per-ORIGINAL-channel affine folded into the output
     (BN + conv bias); act: None | 'relu' | 'lrelu'.
-    Returns (1, Hs, Ws, 4*Cout) phase-major s2d, f32.
+    Returns (1, Hs, Ws, P*Cout) phase-major s2d, f32.
     """
     interpret = interpret or jax.default_backend() != "tpu"
     if passes is None:
@@ -178,12 +212,13 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
     else:
         Hs, Ws = inputs[0].shape[1], inputs[0].shape[2]
     m = weights[0].shape[-1]
-    cout = m // 4
+    cout = m // phases
     if scale is None:
         scale = jnp.ones((cout,), jnp.float32)
     if bias is None:
         bias = jnp.zeros((cout,), jnp.float32)
-    sb = jnp.stack([jnp.tile(scale, 4), jnp.tile(bias, 4)]).astype(jnp.float32)
+    sb = jnp.stack([jnp.tile(scale, phases),
+                    jnp.tile(bias, phases)]).astype(jnp.float32)
 
     # tile: T rows x Wc cols; keep the window set + weights within VMEM.
     # Mosaic block constraint: the col dim of a block must be 8-aligned
@@ -192,7 +227,11 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
     # (exact: SAME-conv zeros).
     Wp = Ws
     if Ws <= 512:
-        Wc = Ws  # block == array dim: always legal
+        # one col tile; pad to a sublane multiple — the DMA window is
+        # Wc+16 cols and non-8-multiple slice sizes fault the DMA engine
+        # (hit at the 204x168 eval extent: Ws=84 -> window 100)
+        Wp = -(-Ws // 8) * 8
+        Wc = Wp
     else:
         Wp = -(-Ws // 128) * 128
         for cand in (512, 384, 256, 128):
@@ -261,3 +300,12 @@ def maxpool2x2_from_s2d(xs, cout):
     (1, Hs, Ws, cout)."""
     B, Hs, Ws, _ = xs.shape
     return jnp.max(xs.reshape(B, Hs, Ws, 4, cout), axis=3)
+
+
+def maxpool2x2_from_s2d_h(xs, cout):
+    """2x2 stride-2 maxpool of the ORIGINAL tensor from its H-only s2d
+    form (B, H/2, W, 2C): max over the py phases, then over col pairs.
+    Returns NHWC (1, H/2, W/2, cout)."""
+    B, Hs, W, _ = xs.shape
+    x = jnp.max(xs.reshape(B, Hs, W, 2, cout), axis=3)
+    return jnp.max(x.reshape(B, Hs, W // 2, 2, cout), axis=3)

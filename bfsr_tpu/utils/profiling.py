@@ -48,7 +48,9 @@ def device_sync(x):
 
     flat = jax.tree_util.tree_leaves(x)
     if flat:
-        np.asarray(flat[0]).ravel()[:1]
+        # index on DEVICE first: np.asarray(full_leaf) would pull the whole
+        # array over the ~5 MB/s tunnel and dominate the measurement
+        np.asarray(flat[0].ravel()[0])
     return x
 
 

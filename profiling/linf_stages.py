@@ -29,13 +29,19 @@ from bfsr_tpu.utils.coords import make_coord_np, make_cell
 from __graft_entry__ import _flagship
 
 
+def sync(out):
+    # device-side index first: a full-leaf np.asarray would fetch the whole
+    # array over the ~5 MB/s tunnel and dominate the measurement
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+
 def timeit(fn, *args, iters=8):
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]  # sync
+    sync(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    sync(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

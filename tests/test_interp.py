@@ -107,3 +107,23 @@ def test_grid_sample_bilinear_separable_matches_gather(rng):
         out = grid_sample_bilinear_separable(x, cy, cx, padding_mode=mode)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
+
+
+def test_resize_bilinear_banded_matches_gather(rng):
+    """Large-extent resizes take the banded-block matmul path (dense axis
+    matrices are O(in*out) waste at DIV2K sizes); values must match the
+    gather form to f32 rounding, both align modes, non-integer ratios."""
+    import jax.numpy as jnp
+    from bfsr_tpu.ops.interp import resize_bilinear, _resize_axis_apply_banded
+
+    for (H, W, oh, ow, ac) in [(1020, 678, 2040, 1356, True),
+                               (170, 113, 2040, 1356, False),
+                               (510, 339, 1020, 678, True)]:
+        x = jnp.asarray(rng.random((1, H, W, 4)).astype(np.float32))
+        ref = resize_bilinear(x, (oh, ow), align_corners=ac, method="gather")
+        b = _resize_axis_apply_banded(x, H, oh, ac, 1)
+        b = _resize_axis_apply_banded(b, W, ow, ac, 2)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(ref), atol=5e-7,
+                                   err_msg=f"{H}x{W}->{oh}x{ow} ac={ac}")
+        m = resize_bilinear(x, (oh, ow), align_corners=ac, method="matmul")
+        np.testing.assert_allclose(np.asarray(m), np.asarray(ref), atol=5e-7)

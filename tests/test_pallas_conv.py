@@ -78,3 +78,42 @@ def test_conv3x3_s2d_unaligned_width(rng):
     out2 = s2d.conv3x3_s2d([s2d.prepad(xs)], s2d.s2d_weight(w), interpret=True)
     np.testing.assert_allclose(np.asarray(s2d.depth_to_space(out2)),
                                np.asarray(ref), atol=1e-4)
+
+
+def test_conv3x3_s2d_h_only(rng):
+    """H-only (1x2) s2d domain: the Cout=64 UNet convs run with a 2x MAC
+    trade instead of the full 2x2 domain's 4x.  Same conv, new phase map
+    + layouts; includes a multi-block implicit concat and the
+    non-8-multiple single-tile width that used to fault the DMA engine
+    (Ws=84 at the 204x168 eval extent)."""
+    import jax
+    import jax.numpy as jnp
+    from bfsr_tpu.ops.pallas import s2d_conv as s2d
+
+    for (H, W) in [(16, 12), (204, 168), (12, 168)]:
+        x = jnp.asarray(rng.random((1, H, W, 5)).astype(np.float32))
+        y = jnp.asarray(rng.random((1, H, W, 3)).astype(np.float32))
+        w = jnp.asarray((rng.random((3, 3, 8, 7)) - 0.5).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            jnp.concatenate([x, y], -1), w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+        out = s2d.conv3x3_s2d(
+            [s2d.space_to_depth_h(x), s2d.space_to_depth_h(y)],
+            s2d.s2d_weight(w, cin_split=[5, 3], factors=(2, 1)),
+            phases=2, interpret=True)
+        got = s2d.depth_to_space_h(out)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, err_msg=f"{H}x{W}")
+    # layout round-trips
+    np.testing.assert_array_equal(
+        np.asarray(s2d.depth_to_space_h(s2d.space_to_depth_h(x))),
+        np.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(s2d.full_to_h_s2d(s2d.space_to_depth(x))),
+        np.asarray(s2d.space_to_depth_h(x)))
+    # maxpool from the h-only form == maxpool of the original
+    from bfsr_tpu.ops import nn as fnn
+    np.testing.assert_array_equal(
+        np.asarray(s2d.maxpool2x2_from_s2d_h(s2d.space_to_depth_h(x), 5)),
+        np.asarray(fnn.max_pool2d(x, 2)))
