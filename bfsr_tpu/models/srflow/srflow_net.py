@@ -98,36 +98,45 @@ class SRFlowNet(Model):
         return {lvl: lr_enc[names[lvl]] for lvl in range(1, self.L + 1)}
 
     def normal_flow(self, params, gt, lr, key=None, add_gt_noise=True, lr_enc=None,
-                    collect_epses=True, ft_cache=None):
-        """Encode GT -> (epses, nll, logdet) (SRFlowNet_arch.py:83-116)."""
+                    collect_epses=True, ft_cache=None, want_logdet=True):
+        """Encode GT -> (epses, nll, logdet) (SRFlowNet_arch.py:83-116).
+
+        ``want_logdet=False`` drops the whole log-det chain (54 per-step
+        reductions + cached ft log-dets): the eval path only needs the
+        epses, so the predictors skip it (nll/logdet return None)."""
         if lr_enc is None:
             lr_enc = self.preprocess(params, lr)
         B = gt.shape[0]
         pixels = gt.shape[1] * gt.shape[2]
-        logdet = jnp.zeros((B,), jnp.float32)
+        logdet = jnp.zeros((B,), jnp.float32) if want_logdet else None
         z = gt
         if add_gt_noise:
             noise = (jax.random.uniform(key, gt.shape, gt.dtype) - 0.5) / self.quant
             z = z + noise
-            logdet = logdet + (-math.log(self.quant) * pixels)
+            if logdet is not None:
+                logdet = logdet + (-math.log(self.quant) * pixels)
         epses, logdet = fup.encode(params["flow"], self.plan, z, self._conds(lr_enc),
                                    logdet, ft_cache=ft_cache)
         z_final = epses[-1]
-        objective = logdet + flows.gaussian_logp(z_final)
-        nll = -objective / (math.log(2.0) * pixels)
+        if logdet is not None:
+            objective = logdet + flows.gaussian_logp(z_final)
+            nll = -objective / (math.log(2.0) * pixels)
+        else:
+            nll = None
         if collect_epses:
             return epses, nll, logdet
         return z_final, nll, logdet
 
     def reverse_flow(self, params, lr, z=None, epses=None, eps_std=None, key=None,
-                     add_gt_noise=True, lr_enc=None, ft_cache=None):
+                     add_gt_noise=True, lr_enc=None, ft_cache=None,
+                     want_logdet=True):
         """Decode z/epses -> SR image (SRFlowNet_arch.py:145-158)."""
         if lr_enc is None:
             lr_enc = self.preprocess(params, lr)
         B = lr.shape[0]
         pixels = lr.shape[1] * lr.shape[2] * self.scale ** 2
-        logdet = jnp.zeros((B,), jnp.float32)
-        if add_gt_noise:
+        logdet = jnp.zeros((B,), jnp.float32) if want_logdet else None
+        if add_gt_noise and logdet is not None:
             logdet = logdet + math.log(self.quant) * pixels
         sr, logdet = fup.decode(params["flow"], self.plan, self._conds(lr_enc), logdet,
                                 z=z, epses=epses, eps_std=eps_std, key=key,
@@ -160,13 +169,16 @@ class SRFlowNet(Model):
     # -- wrapper-level helpers (SRFlow_model.py) --------------------------
 
     def get_encode_epses(self, params, lq, gt, add_gt_noise=True, key=None):
-        epses, _, _ = self.normal_flow(params, gt, lq, key=key, add_gt_noise=add_gt_noise)
+        epses, _, _ = self.normal_flow(params, gt, lq, key=key,
+                                       add_gt_noise=add_gt_noise,
+                                       want_logdet=False)
         return epses
 
     def get_sr(self, params, lq, heat=None, z=None, epses=None, key=None):
         if z is None and epses is None:
             z = self.sample_z(key, heat, lq.shape[0], lq.shape[1:3])
-        sr, _ = self.reverse_flow(params, lq, z=z, epses=epses, eps_std=heat, key=key)
+        sr, _ = self.reverse_flow(params, lq, z=z, epses=epses, eps_std=heat,
+                                  key=key, want_logdet=False)
         return sr
 
     def sample_z(self, key, heat, batch_size, lr_hw):

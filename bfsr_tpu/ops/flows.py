@@ -488,7 +488,8 @@ def split2d(x, p, logdet, ft=None, reverse=False, eps=None, eps_std=None,
         z1, z2 = x[..., :n_pass], x[..., n_pass:]
         mean, logs = split2d_prior(z1, ft, p)
         out_eps = (z2 - mean) / (jnp.exp(logs) + logs_eps)
-        logdet = logdet + gaussian_logp(z2, mean, logs)
+        if logdet is not None:
+            logdet = logdet + gaussian_logp(z2, mean, logs)
         return z1, logdet, out_eps
     z1 = x
     mean, logs = split2d_prior(z1, ft, p)
@@ -496,7 +497,8 @@ def split2d(x, p, logdet, ft=None, reverse=False, eps=None, eps_std=None,
         eps = jax.random.normal(key, mean.shape, mean.dtype) * (eps_std if eps_std is not None else 1.0)
     z2 = mean + (jnp.exp(logs) + logs_eps) * eps
     z = jnp.concatenate([z1, z2], -1)
-    logdet = logdet - gaussian_logp(z2, mean, logs)
+    if logdet is not None:
+        logdet = logdet - gaussian_logp(z2, mean, logs)
     return z, logdet, None
 
 

@@ -234,7 +234,8 @@ def split2d(x4, p, logdet, reverse=False, eps=None, eps_std=None, key=None,
         h = _conv_zeros(z1, p["conv"])
         mean4, logs4 = _scale_shift_raw(h)
         out_eps = (z2 - mean4) / jnp.exp(logs4)
-        logdet = logdet + flows.gaussian_logp(z2, mean4, logs4)
+        if logdet is not None:
+            logdet = logdet + flows.gaussian_logp(z2, mean4, logs4)
         return z1, logdet, from_s2d(out_eps)
     z1 = x4
     h = _conv_zeros(z1, p["conv"])
@@ -247,7 +248,8 @@ def split2d(x4, p, logdet, reverse=False, eps=None, eps_std=None, key=None,
     z2 = mean4 + jnp.exp(logs4) * eps4
     n_pass = z1.shape[-1] // 4
     z = _cat_channels(z1, z2, n_pass, mean4.shape[-1] // 4)
-    logdet = logdet - flows.gaussian_logp(z2, mean4, logs4)
+    if logdet is not None:
+        logdet = logdet - flows.gaussian_logp(z2, mean4, logs4)
     return z, logdet, None
 
 

@@ -35,12 +35,13 @@ class SRFlowLPPredictor:
         lr_enc = model.preprocess(params, lr)
         ft_cache = model.precompute_ft(params, lr_enc)
         epses, _, _ = model.normal_flow(params, lr_up, lr, add_gt_noise=False,
-                                        lr_enc=lr_enc, ft_cache=ft_cache)
+                                        lr_enc=lr_enc, ft_cache=ft_cache,
+                                        want_logdet=False)
         epses = standardize_epses(epses)
         learned = self.prior.apply(prior_params, epses)
         sr, _ = model.reverse_flow(params, lr, epses=learned,
                                    add_gt_noise=False, lr_enc=lr_enc,
-                                   ft_cache=ft_cache)
+                                   ft_cache=ft_cache, want_logdet=False)
         return sr
 
     def predict(self, lr_img01):
@@ -101,12 +102,13 @@ class SRFlowSpatialPredictor:
         ft_cache = fup.precompute_ft(params["flow"], model.plan,
                                      model._conds(lr_enc), lvl1_s2d=False)
         epses, _, _ = model.normal_flow(params, lr_up, lr, add_gt_noise=False,
-                                        lr_enc=lr_enc, ft_cache=ft_cache)
+                                        lr_enc=lr_enc, ft_cache=ft_cache,
+                                        want_logdet=False)
         epses = standardize_epses(epses)
         learned = self.prior.apply(prior_params, epses)
         sr, _ = model.reverse_flow(params, lr, epses=learned,
                                    add_gt_noise=False, lr_enc=lr_enc,
-                                   ft_cache=ft_cache)
+                                   ft_cache=ft_cache, want_logdet=False)
         return sr
 
     def predict(self, lr_img01):
@@ -143,7 +145,8 @@ def validate(model, batches, heats=(0.0, 0.5, 0.75, 1.0), n_sample=3, seed=0,
     # flow eagerly costs ~1-1.5 ms of dispatch PER OP on this platform
     pre = jax.jit(lambda p, lq: model.preprocess(p, lq))
     rev = jax.jit(lambda p, lq, z, heat, key, enc: model.reverse_flow(
-        p, lq, z=z, eps_std=heat, key=key, lr_enc=enc)[0])
+        p, lq, z=z, eps_std=heat, key=key, lr_enc=enc,
+        want_logdet=False)[0])
     nfl = jax.jit(lambda p, gt, lq, key, enc: model.normal_flow(
         p, gt, lq, key=key, add_gt_noise=True, lr_enc=enc)[1])
 

@@ -1,17 +1,16 @@
 """SRFlow-LP per-stage MFU table (round-2 verdict #6: floors as numbers).
 
-For each pipeline stage at LR 128 -> HR 512: measured device time, XLA
-logical FLOPs + HBM bytes (compiled cost_analysis), achieved TF/s and
-GB/s, and the roofline floor  max(flops/HIGH_TFs, bytes/STREAM_GBs)  so
-"this stage is at its floor" is a measured ratio, not a narrative.
+For each pipeline stage at LR 128 -> HR 512: measured device time,
+logical FLOPs, achieved TF/s, MFU vs the measured ~60 TF/s
+Precision.HIGH matmul roofline, and the flops-only floor ms — so "this
+stage is at its floor" is a measured ratio, not a narrative.
 
-Rooflines are the chip numbers measured in round 1 (BENCH_NOTES):
-~60 TF/s at Precision.HIGH (logical flops; the 3-pass bf16 split costs
-3x the 158 TF/s bf16 peak) and ~295 GB/s HBM streaming.
-
-Caveat: cost_analysis counts custom calls (Pallas) as 0 flops; the
-SRFlow path is XLA-only (scatter trunk, im2col matmuls), so counts are
-complete here.  Run: python profiling/srflow_mfu.py
+FLOP sources: XLA cost_analysis for the unrolled stages; the RRDB trunk
+runs under lax.scan whose body cost_analysis counts ONCE, so the trunk
+is corrected analytically (nb * 3 dense blocks * the 5-conv MAC sum).
+cost_analysis 'bytes accessed' counts fusion-internal traffic (it
+reports >roofline GB/s), so no bandwidth floor is derived — the flops
+floor is the optimistic bound.  Run: python profiling/srflow_mfu.py
 """
 import os
 import sys
@@ -29,7 +28,6 @@ from bfsr_tpu.models.srflow.srflow_net import standardize_epses
 from bfsr_tpu.ops.interp import resize_bilinear
 
 HIGH_TFS = 60e12     # measured HIGH-precision matmul roofline
-STREAM_GBS = 295e9   # measured HBM streaming roofline
 
 model = registry.make({"name": "srflow", "args": {
     "in_nc": 3, "out_nc": 3, "nf": 64, "nb": 23, "scale": 4,
@@ -60,26 +58,34 @@ def timeit(jf, *args, N=10):
 
 def cost(jf, *args):
     c = jf.lower(*args).compile().cost_analysis()
-    return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    return float(c.get("flops", 0.0))
+
+
+def trunk_flops_analytic(nf=64, gc=32, nb=23, h=128, w=128):
+    """Logical trunk FLOPs: nb RRDBs x 3 dense blocks x 5 convs (the scan
+    body that cost_analysis counts once)."""
+    macs_px = 9 * sum((nf + i * gc) * (gc if i < 4 else nf)
+                      for i in range(5)) * 3 * nb
+    return macs_px * h * w * 2
 
 
 rows = []
 
 
-def stage(name, jf, *args):
+def stage(name, jf, *args, extra_flops=0.0):
     ms = timeit(jf, *args)
-    fl, by = cost(jf, *args)
-    t = ms / 1e3
-    tfs = fl / t / 1e12
-    gbs = by / t / 1e9
-    floor_ms = max(fl / HIGH_TFS, by / STREAM_GBS) * 1e3
-    rows.append((name, ms, fl / 1e9, by / 1e9, tfs, gbs, floor_ms,
-                 ms / floor_ms if floor_ms > 0 else float("inf")))
+    fl = cost(jf, *args) + extra_flops
+    tfs = fl / (ms / 1e3) / 1e12
+    floor_ms = fl / HIGH_TFS * 1e3
+    rows.append((name, ms, fl / 1e9, tfs, tfs * 1e12 / HIGH_TFS,
+                 floor_ms, ms / floor_ms if floor_ms > 0 else float("inf")))
     return jf(*args)
 
 
 pre = jax.jit(lambda p, x: model.preprocess(p, x))
-lr_enc = stage("RRDB preprocess", pre, params, lr)
+# scan body counted once by cost_analysis: add the other nb-1 iterations
+lr_enc = stage("RRDB preprocess", pre, params, lr,
+               extra_flops=trunk_flops_analytic() * 22 / 23)
 
 ftc = jax.jit(lambda p, e: model.precompute_ft(p, e))
 ft_cache = stage("precompute_ft", ftc, params, lr_enc)
@@ -98,18 +104,17 @@ rf = jax.jit(lambda p, x, e, enc, fc: model.reverse_flow(
     p, x, epses=e, add_gt_noise=False, lr_enc=enc, ft_cache=fc))
 stage("reverse_flow (dec)", rf, params, lr, learned, lr_enc, ft_cache)
 
-print(f"\n{'stage':<20}{'ms':>8}{'GF':>9}{'GB':>8}{'TF/s':>8}{'GB/s':>8}"
+print(f"\n{'stage':<20}{'ms':>8}{'GF':>9}{'TF/s':>8}{'MFU':>7}"
       f"{'floor ms':>10}{'x floor':>9}")
-tot_ms = tot_fl = tot_by = tot_floor = 0.0
-for (name, ms, gf, gb, tfs, gbs, fms, ratio) in rows:
-    print(f"{name:<20}{ms:>8.2f}{gf:>9.1f}{gb:>8.2f}{tfs:>8.1f}{gbs:>8.0f}"
+tot_ms = tot_fl = tot_floor = 0.0
+for (name, ms, gf, tfs, mfu, fms, ratio) in rows:
+    print(f"{name:<20}{ms:>8.2f}{gf:>9.1f}{tfs:>8.1f}{mfu:>6.0%}"
           f"{fms:>10.2f}{ratio:>9.2f}")
     tot_ms += ms
     tot_fl += gf
-    tot_by += gb
     tot_floor += fms
-print(f"{'TOTAL':<20}{tot_ms:>8.2f}{tot_fl:>9.1f}{tot_by:>8.2f}"
-      f"{tot_fl / tot_ms:>8.1f}{tot_by / tot_ms * 1e3:>8.0f}"
-      f"{tot_floor:>10.2f}{tot_ms / tot_floor:>9.2f}")
-print("\nMFU vs HIGH roofline = TF/s / 60;  floor ms = "
-      "max(flops/60TF, bytes/295GB)")
+print(f"{'TOTAL':<20}{tot_ms:>8.2f}{tot_fl:>9.1f}{tot_fl / tot_ms:>8.1f}"
+      f"{tot_fl / tot_ms / 60:>6.0%}{tot_floor:>10.2f}"
+      f"{tot_ms / tot_floor:>9.2f}")
+print("\nMFU = achieved TF/s / the 60 TF/s HIGH matmul roofline; floor ms"
+      " = flops/60TF (optimistic: ignores bandwidth, lane waste, VPU work)")
