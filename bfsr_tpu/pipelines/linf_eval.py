@@ -60,7 +60,9 @@ class LINFPredictor:
         self.prior = prior_model
         self.tile_queries = tile_queries
         if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu" and model.patch_size == 1)
+            # patch models (d=27) included: the generic-d cm kernels beat
+            # the XLA scan path there too (13.6 vs 16.7 ms at 516^2)
+            use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self._predict = jax.jit(self._predict_impl, static_argnames=("use_prior", "sample"))
 
