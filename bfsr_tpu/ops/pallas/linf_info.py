@@ -181,9 +181,17 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     while H % tr:
         tr -= _ROW_Q
 
-    # the DMA window never needs to exceed the (128-padded) LR extent
+    # the DMA window never needs to exceed the (128-padded) LR extent,
+    # nor what a wt-col tile can read: its ix span is wt/scale + 2 plus
+    # up to 127 cols of col_base 128-rounding (windows sized beyond that
+    # are pure DMA waste — DIV2K used to ship cw=512 where 256 suffices)
     w128 = -(-w // 128) * 128
-    cw = min(cw, w128)
+
+    def _cw_for(wt_):
+        need = int(wt_ / max(scale_est, 0.8)) + 2 + 127 + 1
+        return min(w128, max(-(-need // 128) * 128, 128))
+
+    cw = min(cw, _cw_for(wt))
 
     # VMEM cap on the WHOLE scoped footprint, not just the out block: at
     # DIV2K LR widths the coef/freq col windows are cw=512 (vs 128 at the
@@ -195,7 +203,11 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
         return (rows_out_early * tr_ * wt_ * 4 * 2   # out block, dbl-buffered
                 + 2 * r * C * cw_ * 4                # coef/freq LR windows
                 + 2 * 2 * cw_ * wt_ * 4              # pxm/pxp blocks
-                + int(1.7 * tr_ * wt_ * C * 4))      # in-kernel temporaries
+                # in-kernel temporaries scale with BOTH the hidden width
+                # and the output rows (the 544-row patch model's MLP-out
+                # accumulators OOM'd scoped vmem at DIV2K extents when
+                # only C was counted)
+                + int(1.7 * tr_ * wt_ * max(C, rows_out_early) * 4))
 
     budget = 15 * 1024 * 1024
     while tr > _ROW_Q and _vmem_est(tr, wt, cw) > budget:
@@ -203,7 +215,7 @@ def fused_affine_info_cm(params, coef, freq, coord_y, coord_x, cell,
     if W % 128 == 0:
         while wt > 128 and _vmem_est(tr, wt, cw) > budget:
             wt //= 2
-            cw = min(max(cw // 2, 384), w128)
+            cw = min(cw, _cw_for(wt))
     # LR row window: tr HR rows span <= tr/scale LR rows (+2 for the
     # corner shifts, +1 rounding)
     r_max = int(math.ceil(tr / max(scale_est, 0.8))) + 3
