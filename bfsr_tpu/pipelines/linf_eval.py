@@ -196,11 +196,14 @@ class LINFPredictor:
         Wp = -(-W // WT) * WT
         # at wide-enough W and scale>=1.5 the info kernel can run 256-col
         # tiles, but only if W divides: pad to the next 256 multiple — the
-        # <=9% extra (cropped) columns cost less than halving every LR
-        # window DMA (DIV2K 1408->1536 measured 85.6 -> 71.7 ms)
+        # extra (cropped) columns cost less than halving every LR window
+        # DMA (DIV2K 1408->1536, +13%, measured 85.6 -> 71.7 ms) as long
+        # as the pad stays moderate (x6 OOD's 576->768 would be +33%)
         s_est = H / max(inp.shape[1], 1)
         if W > 512 and s_est >= 1.5 and Wp % 256:
-            Wp = -(-W // 256) * 256
+            wp256 = -(-W // 256) * 256
+            if wp256 - W <= 0.15 * W:
+                Wp = wp256
         coord_y = jnp.pad(coord[0, :, 0, 0], (0, Hp8 - H), mode="edge")
         coord_x = jnp.pad(coord[0, 0, :, 1], (0, Wp - W), mode="edge")
         n = Hp8 * Wp
