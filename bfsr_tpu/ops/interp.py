@@ -216,21 +216,39 @@ def _resize_axis_apply_banded(x, in_size, out_size, align_corners, axis):
                      precision=jax.lax.Precision.HIGHEST)
     out = jnp.moveaxis(out, -1, 1)      # (G, chunk, ...)
     out = out.reshape((G * chunk,) + out.shape[2:])[:out_size]
-    return jnp.moveaxis(out, 0, axis)
+    # materialize: letting XLA fuse the chunked einsum into a downstream
+    # DEFAULT-precision conv was measured catastrophically slow (the
+    # UNet's up[1] at DIV2K extents: 27 ms as two programs, 204 ms fused)
+    return jax.lax.optimization_barrier(jnp.moveaxis(out, 0, axis))
 
 
 def resize_bilinear(x, out_hw, align_corners=False, method=None):
     """F.interpolate(mode='bilinear') equivalent. x: (B,H,W,C) -> (B,h,w,C).
 
-    Separable with the exact per-axis weights torch uses.  On TPU the
-    2-tap-per-row interpolation is applied as dense MXU matmuls (gathers
-    on this hardware run far below streaming bandwidth); elsewhere via
-    gather indexing.  Both produce identical values.
+    Separable with the exact per-axis weights torch uses; all methods
+    produce identical values.  The default follows the global precision
+    mode, per in-program A/B at DIV2K and 512^2 extents:
+
+    * HIGH/HIGHEST (metric mode): per-axis MXU matmuls (dense or
+      banded-block) — the round-2 winner (full DIV2K pipeline 424 ms vs
+      459 with gathers).
+    * DEFAULT (serving mode): per-axis gather indexing — XLA compiles a
+      resize-einsum-next-to-bf16-convs program catastrophically (the
+      UNet's up[1] at 1020x678: 205 ms matmul vs 21 ms gather; an
+      optimization_barrier does NOT fix it); gathers took the serving
+      DIV2K pipeline 493 -> 323 ms.
+
+    This is unlike the 2-D grid_sample case, where the separable-matmul
+    form wins big in every mode (see grid_sample_bilinear_separable).
     """
     B, H, W, C = x.shape
     oh, ow = out_hw
     if method is None:
-        method = "matmul" if jax.default_backend() == "tpu" else "gather"
+        from bfsr_tpu.ops import nn as _fnn
+
+        serving = _fnn.default_precision() == jax.lax.Precision.DEFAULT
+        method = ("matmul" if jax.default_backend() == "tpu" and not serving
+                  else "gather")
     if method == "matmul":
         hi = jax.lax.Precision.HIGHEST
 
