@@ -63,6 +63,29 @@ def edsr_apply(params, x, res_scale=1.0, no_upsampling=True, scale=2):
     return fnn.conv2d(res, params["tail"])
 
 
+def edsr_apply_fused(params, x, res_scale=1.0):
+    """Inference-only trunk with every conv in the H-only (1x2) s2d Pallas
+    domain: XLA runs these <=64-out 3x3 convs at 3-17 TF/s on this chip,
+    while 2*n_feats fills the 128 MXU lanes at only a 2x MAC trade.
+    Residual adds stay in the s2d layout (elementwise).  Requires B=1,
+    even H, no_upsampling; numerics = 3-pass bf16 == XLA HIGH."""
+    from bfsr_tpu.ops.pallas import s2d_conv as s2d
+
+    def conv(t, p, act=None):
+        w = s2d.s2d_weight(p["w"], factors=(2, 1))
+        return s2d.conv3x3_s2d([t], w, bias=p.get("b"), act=act, phases=2)
+
+    xs = s2d.space_to_depth_h(x)
+    h0 = conv(xs, params["head"])
+    res = h0
+    for blk in params["body"]:
+        h = conv(res, blk["conv1"], act="relu")
+        h = conv(h, blk["conv2"])
+        res = res + h * res_scale
+    res = conv(res, params["body_tail"])
+    return s2d.depth_to_space_h(res + h0)
+
+
 class _EDSR(Model):
     def __init__(self, n_resblocks, n_feats, res_scale, scale, no_upsampling, rgb_range, name):
         super().__init__()
@@ -81,7 +104,13 @@ class _EDSR(Model):
             jax.random.PRNGKey(0), n_resblocks, n_feats, 3, scale, no_upsampling
         )
 
-    def apply(self, params, x):
+    def apply(self, params, x, fused=None):
+        if fused is None:
+            fused = (jax.default_backend() == "tpu" and self.no_upsampling
+                     and x.shape[0] == 1 and x.shape[1] % 2 == 0
+                     and self.n_feats <= 64)
+        if fused:
+            return edsr_apply_fused(params, x, self.res_scale)
         return edsr_apply(params, x, self.res_scale, self.no_upsampling, self.scale)
 
     def __call__(self, x):

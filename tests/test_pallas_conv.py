@@ -117,3 +117,18 @@ def test_conv3x3_s2d_h_only(rng):
     np.testing.assert_array_equal(
         np.asarray(s2d.maxpool2x2_from_s2d_h(s2d.space_to_depth_h(x), 5)),
         np.asarray(fnn.max_pool2d(x, 2)))
+
+
+def test_edsr_fused_matches_xla(rng):
+    """H-only s2d EDSR trunk == the XLA form (3-pass bf16 == HIGH)."""
+    import jax.numpy as jnp
+    from bfsr_tpu import registry
+    import bfsr_tpu.models  # noqa: F401
+
+    enc = registry.make({"name": "edsr-baseline",
+                         "args": {"n_resblocks": 3, "n_feats": 16,
+                                  "no_upsampling": True}})
+    x = jnp.asarray(rng.random((1, 20, 14, 3)).astype(np.float32))
+    ref = enc.apply(enc.params, x, fused=False)
+    got = enc.apply(enc.params, x, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
