@@ -225,31 +225,35 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
     # unless it equals the array's — widths like DIV2K's 1020 (no 8-mult
     # divisor) are zero-padded right to a 128 multiple and cropped after
     # (exact: SAME-conv zeros).
-    Wp = Ws
     if Ws <= 512:
-        # one col tile; pad to a sublane multiple — the DMA window is
-        # Wc+16 cols and non-8-multiple slice sizes fault the DMA engine
-        # (hit at the 204x168 eval extent: Ws=84 -> window 100)
+        # pad to a sublane multiple — the DMA window is Wc+16 cols and
+        # non-8-multiple slice sizes fault the DMA engine (hit at the
+        # 204x168 eval extent: Ws=84 -> window 100)
         Wp = -(-Ws // 8) * 8
-        Wc = Wp
+        cands = [Wp] + [c for c in (256, 128) if Wp % c == 0 and c < Wp]
     else:
         Wp = -(-Ws // 128) * 128
-        for cand in (512, 384, 256, 128):
-            if Wp % cand == 0:
-                Wc = cand
-                break
+        cands = [c for c in (512, 384, 256, 128) if Wp % c == 0]
+
     def _cp(x):
         return x.shape[-1] if x.ndim == 3 else -(-x.shape[-1] // 128) * 128
 
     cin_tot = sum(_cp(x) for x in inputs)
-    win_bytes_per_row = (Wc + 16) * cin_tot * 4
-    T = 8
-    # windows + double-buffered out + f32 acc + matmul temps (~1.3 margin)
-    while T > 1 and int(1.3 * ((T + 2) * win_bytes_per_row
-                               + 3 * T * Wc * m * 4)) > 10 * 1024 * 1024:
-        T //= 2
-    while Hs % T:
-        T -= 1
+
+    def _fit_T(wc):
+        # windows + dbl-buffered out + f32 acc + matmul temps (~1.3 margin)
+        t = 8
+        while t > 1 and int(1.3 * ((t + 2) * (wc + 16) * cin_tot * 4
+                                   + 3 * t * wc * m * 4)) > 10 * 1024 * 1024:
+            t //= 2
+        while Hs % t:
+            t -= 1
+        return t
+
+    # prefer tall row tiles over wide col tiles: the (T+2)/T halo re-read
+    # dominates at small T (the DIV2K dense proj used to run T=2 at
+    # Wc=384 where T=8 fits at Wc=128)
+    T, Wc = max(((_fit_T(c), c) for c in cands))
     grid = (Hs // T, Wp // Wc)
 
     # DMA slices must be 128-aligned in the last dim (CLAUDE.md / Mosaic):
