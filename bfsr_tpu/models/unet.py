@@ -205,17 +205,21 @@ def unet_apply(params, z, lr, depth=3, training=False):
     return logits
 
 
-def dense5c_s2d(xs_blocks, block_sizes, p):
-    """dense_block5c over an implicit channel-concat, fused s2d Pallas."""
+def dense5c_s2d(xs_blocks, block_sizes, p, factors=(2, 2)):
+    """dense_block5c over an implicit channel-concat, fused s2d Pallas.
+
+    factors=(2, 1): the H-only domain — the right trade when the growth
+    channels already fill the MXU lanes at 2 phases (gc=64 blocks)."""
     from bfsr_tpu.ops.pallas import s2d_conv as s2d
 
+    P = factors[0] * factors[1]
     blocks = list(xs_blocks)
     sizes = list(block_sizes)
     for i in range(1, 6):
         cp = p[f"conv{i}"]
-        w_blocks = s2d.s2d_weight(cp["w"], cin_split=sizes)
+        w_blocks = s2d.s2d_weight(cp["w"], cin_split=sizes, factors=factors)
         out = s2d.conv3x3_s2d(blocks, w_blocks, bias=cp["b"],
-                              act="lrelu" if i < 5 else None)
+                              act="lrelu" if i < 5 else None, phases=P)
         cout = cp["w"].shape[-1]
         blocks = blocks + [out]
         sizes = sizes + [cout]

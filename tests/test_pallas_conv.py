@@ -132,3 +132,4 @@ def test_edsr_fused_matches_xla(rng):
     ref = enc.apply(enc.params, x, fused=False)
     got = enc.apply(enc.params, x, fused=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
