@@ -24,14 +24,24 @@ def _rrdb_mask(grads, on):
 
 
 def make_srflow_train_step(model, optimizer, weight_fl=1.0, weight_l1=0.0,
-                           rrdb_unfreeze_step=None):
+                           rrdb_unfreeze_step=None, freeze_rrdb=False):
     """Returns jitted step(params, opt_state, batch, key, step_idx) ->
-    (params, opt_state, metrics).  batch: {'GT': (B,H,W,3), 'LQ': (B,h,w,3)}."""
+    (params, opt_state, metrics).  batch: {'GT': (B,H,W,3), 'LQ': (B,h,w,3)}.
+
+    ``freeze_rrdb=True`` is the static fast form of the frozen phase: the
+    RRDB conditioning is wrapped in stop_gradient so XLA never builds the
+    trunk backward (418.8 -> 277.4 ms/step at the reference config,
+    profiling/train_freeze_probe.py), instead of computing it and masking
+    it to zero.  Param updates are bit-identical to the mask form (Adam on
+    zero grads is a no-op); the trainer CLI swaps step functions at the
+    unfreeze boundary."""
 
     def loss_fn(params, batch, key):
         losses = {}
         gt, lq = batch["GT"], batch["LQ"]
         lr_enc = model.preprocess(params, lq)
+        if freeze_rrdb:
+            lr_enc = jax.tree_util.tree_map(jax.lax.stop_gradient, lr_enc)
         if weight_fl > 0:
             _, nll, _ = model.normal_flow(params, gt, lq, key=key,
                                           add_gt_noise=True, lr_enc=lr_enc,
@@ -50,7 +60,9 @@ def make_srflow_train_step(model, optimizer, weight_fl=1.0, weight_l1=0.0,
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key
         )
-        if rrdb_unfreeze_step is not None:
+        if freeze_rrdb:
+            pass  # rrdb grads are already symbolic zeros via stop_gradient
+        elif rrdb_unfreeze_step is not None:
             grads = _rrdb_mask(grads, step_idx >= rrdb_unfreeze_step)
         else:
             grads = _rrdb_mask(grads, jnp.asarray(False))

@@ -38,6 +38,36 @@ def test_srflow_train_step_updates_flow_not_rrdb(rng):
         rrdb0, np.asarray(jax.tree_util.tree_leaves(params2["rrdb"])[0]))
 
 
+def test_srflow_frozen_step_matches_mask_form(rng):
+    """freeze_rrdb=True (stop_gradient, no trunk backward) must produce
+    the same params as the grad-mask form — Adam on zero grads is a
+    no-op update, so the two are numerically identical."""
+    m = registry.make({"name": "srflow",
+                       "args": {"nf": 8, "nb": 2, "gc": 4, "K": 2, "L": 3,
+                                "hidden_channels": 8, "stack_blocks": (0, 1)}})
+    optimizer = optax.chain(optax.clip_by_global_norm(10.0),
+                            optax.adam(1e-4))
+    batch = {"GT": jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32)),
+             "LQ": jnp.asarray(rng.random((2, 4, 4, 3)).astype(np.float32))}
+    step_mask = make_srflow_train_step(m, optimizer, weight_fl=1.0,
+                                       rrdb_unfreeze_step=100)
+    step_frozen = make_srflow_train_step(m, optimizer, weight_fl=1.0,
+                                         freeze_rrdb=True)
+    key = jax.random.PRNGKey(0)
+    p1, o1, m1 = step_mask(m.params, optimizer.init(m.params), batch, key,
+                           jnp.asarray(0))
+    p2, o2, m2 = step_frozen(m.params, optimizer.init(m.params), batch, key,
+                             jnp.asarray(0))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    # one more step from the (shared) state to exercise non-zero moments
+    p1, _, _ = step_mask(p1, o1, batch, jax.random.PRNGKey(1), jnp.asarray(1))
+    p2, _, _ = step_frozen(p2, o2, batch, jax.random.PRNGKey(1), jnp.asarray(1))
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)
+
+
 def test_psnr_uint8_matches_definition(rng):
     a = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
     b = np.clip(a.astype(np.int32) + 10, 0, 255).astype(np.uint8)
