@@ -66,6 +66,26 @@ def _wrap_warmup(schedule, train_opt, base_lr):
     return with_warmup(schedule, base_lr, train_opt.get("warmup_iter", -1))
 
 
+def _restore_opt_state(saved, optimizer, params, log):
+    """Resume optimizer state (Adam moments + schedule count) saved with
+    the checkpoint — the reference's resume_training restores optimizer
+    and scheduler state the same way (base_model.py:112-130).  Falls back
+    to a fresh init for checkpoints predating opt_state (or converted
+    .pth files)."""
+    fresh = optimizer.init(params)
+    st = (saved or {}).get("opt_state")
+    if st is None:
+        return fresh
+    try:
+        if (jax.tree_util.tree_structure(st)
+                != jax.tree_util.tree_structure(fresh)):
+            raise ValueError("optimizer state structure changed")
+        return st
+    except Exception as e:  # noqa: BLE001 - degrade to fresh moments
+        log(f"could not restore optimizer state ({e}); reinitializing")
+        return fresh
+
+
 def train_sr(opt, args):
     """Plain-SR SRModel training (SR_model.py, F13): upsampling RRDB
     generator + pixel criterion.  conf: model: sr, network_G.which_model_G:
@@ -89,6 +109,7 @@ def train_sr(opt, args):
         "gc": net.get("gc", 32), "no_upsampling": False}})
 
     start_iter = 0
+    sv = None
     if (opt.get("path") or {}).get("resume_state") == "auto":
         newest = ckpt.find_auto_resume(save_path)
         if newest:
@@ -102,7 +123,7 @@ def train_sr(opt, args):
                             train_opt, base_lr)
     optimizer = optax.adam(schedule, b1=train_opt.get("beta1", 0.9),
                            b2=train_opt.get("beta2", 0.99))
-    opt_state = optimizer.init(model.params)
+    opt_state = _restore_opt_state(sv, optimizer, model.params, log)
     step = make_sr_train_step(model, optimizer,
                               pixel_criterion=train_opt.get("pixel_criterion", "cb"),
                               pixel_weight=train_opt.get("pixel_weight", 1.0))
@@ -124,12 +145,13 @@ def train_sr(opt, args):
                 model.params = params
                 ckpt.save_checkpoint(os.path.join(save_path, f"G_{it}.ckpt"),
                                      {"params": params, "spec": model.args,
-                                      "iter": it})
+                                      "iter": it, "opt_state": opt_state})
                 ckpt.keep_newest(save_path, "G_", 2)
             it += 1
     model.params = params
     ckpt.save_checkpoint(os.path.join(save_path, "G_latest.ckpt"),
-                         {"params": params, "spec": model.args, "iter": it})
+                         {"params": params, "spec": model.args, "iter": it,
+                          "opt_state": opt_state})
     log("training done")
 
 
@@ -157,6 +179,7 @@ def main():
     # auto-resume from the newest checkpoint (path.resume_state: auto,
     # reference utils/util.py:152-164)
     start_iter = 0
+    sv = None
     resume_state = (opt.get("path") or {}).get("resume_state")
     if resume_state == "auto":
         newest = ckpt.find_auto_resume(save_path)
@@ -186,7 +209,7 @@ def main():
                             train_opt, base_lr)
     optimizer = optax.adam(schedule, b1=train_opt.get("beta1", 0.9),
                            b2=train_opt.get("beta2", 0.99))
-    opt_state = optimizer.init(model.params)
+    opt_state = _restore_opt_state(sv, optimizer, model.params, log)
 
     delay = opt["network_G"].get("train_RRDB_delay")
     unfreeze = int(delay * niter) if delay is not None else None
@@ -226,12 +249,13 @@ def main():
                 model.params = params
                 ckpt.save_checkpoint(os.path.join(save_path, f"G_{it}.ckpt"),
                                      {"params": params, "spec": model.args,
-                                      "iter": it})
+                                      "iter": it, "opt_state": opt_state})
                 ckpt.keep_newest(save_path, "G_", 2)
             it += 1
     model.params = params
     ckpt.save_checkpoint(os.path.join(save_path, "G_latest.ckpt"),
-                         {"params": params, "spec": model.args, "iter": it})
+                         {"params": params, "spec": model.args, "iter": it,
+                          "opt_state": opt_state})
     log("training done")
 
 

@@ -5,6 +5,7 @@ import os
 import pickle
 import sys
 
+import jax
 import numpy as np
 import pytest
 import yaml
@@ -53,10 +54,24 @@ def test_srflow_train_cli(tiny_conf, tmp_path, monkeypatch):
 
     monkeypatch.setattr(sys, "argv", ["srflow_train.py", tiny_conf])
     srflow_train.main()
-    assert os.path.exists(os.path.join("save", "srflow_smoke", "G_latest.ckpt"))
-    # resume picks up the newest checkpoint
+    latest = os.path.join("save", "srflow_smoke", "G_latest.ckpt")
+    assert os.path.exists(latest)
+    # optimizer state (Adam moments + schedule count) rides in the
+    # checkpoint, like the reference's save_training_state
+    from bfsr_tpu.train.checkpoints import load_checkpoint
+
+    sv = load_checkpoint(latest)
+    assert "opt_state" in sv
+    counts = [x for x in jax.tree_util.tree_leaves(sv["opt_state"])
+              if getattr(x, "ndim", None) == 0 and x.dtype.kind == "i"]
+    assert counts and max(int(c) for c in counts) == 3  # 3 steps taken
+    # resume picks up the newest checkpoint AND its optimizer state
     monkeypatch.setattr(sys, "argv", ["srflow_train.py", tiny_conf, "--niter", "4"])
     srflow_train.main()
+    sv2 = load_checkpoint(os.path.join("save", "srflow_smoke", "G_latest.ckpt"))
+    counts2 = [x for x in jax.tree_util.tree_leaves(sv2["opt_state"])
+               if getattr(x, "ndim", None) == 0 and x.dtype.kind == "i"]
+    assert counts2 and max(int(c) for c in counts2) == 4
 
 
 @pytest.fixture()
