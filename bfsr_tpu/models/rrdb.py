@@ -9,8 +9,11 @@
   ``fea_up0``/``fea_up-1``).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from bfsr_tpu.models.base import Model
 from bfsr_tpu.ops import nn as fnn
@@ -61,8 +64,14 @@ def _dense_block(x, p):
     spread(0, _conv_9dot(x, ws[0]))
     for j in range(1, 5):
         t = acc[j - 1] if bs[j - 1] is None else acc[j - 1] + bs[j - 1]
+        # name the pre-activations so the training remat policy can save
+        # them (no-op identity otherwise): with these saved, the block
+        # backward recomputes only pad/concat glue, never the forward
+        # matmuls (see _trunk_scan)
+        t = checkpoint_name(t, "rrdb_act")
         spread(j, _conv_9dot(fnn.leaky_relu(t), ws[j]))
     x5 = acc[4] if bs[4] is None else acc[4] + bs[4]
+    x5 = checkpoint_name(x5, "rrdb_act")
     return x5 * 0.2 + x
 
 
@@ -103,9 +112,23 @@ def _trunk_scan(trunk_params, fea):
     # remat each block under autodiff: the half-im2col buffers (3C wide)
     # otherwise get saved per scan step for backward — 23 x ~430 MB blew
     # HBM at the reference train config (batch 12, GT 160).  Free for
-    # forward-only eval; trunk backward recomputes the block instead.
+    # forward-only eval.  Remat mode (BFSR_RRDB_REMAT, read at trace
+    # time):
+    #   acts (default) — save only the named "rrdb_act" pre-activations
+    #     (~15 MB/dense-block, ~1 GB over the 23-step scan): the block
+    #     backward then recomputes only lrelu/pad/concat glue, never the
+    #     forward matmuls.
+    #   full — plain jax.checkpoint (recompute the whole block forward);
+    #     the minimum-memory fallback.
+    if os.environ.get("BFSR_RRDB_REMAT", "acts") == "acts":
+        ckpt_fn = jax.checkpoint(
+            _rrdb_block,
+            policy=jax.checkpoint_policies.save_only_these_names("rrdb_act"))
+    else:
+        ckpt_fn = jax.checkpoint(_rrdb_block)
+
     def body(t, bp):
-        t2 = jax.checkpoint(_rrdb_block)(t, bp)
+        t2 = ckpt_fn(t, bp)
         return t2, t2
 
     return jax.lax.scan(body, fea, stacked)
