@@ -68,6 +68,52 @@ def test_srflow_frozen_step_matches_mask_form(rng):
                                    rtol=2e-5, atol=2e-7)
 
 
+def test_rrdb_remat_full_mode_matches_acts(rng, monkeypatch):
+    """BFSR_RRDB_REMAT=full (whole-block recompute, the minimum-memory
+    fallback) must produce the same grads as the default named-activation
+    policy — both are pure remat choices."""
+    import bfsr_tpu.models.rrdb as rrdb_mod
+
+    p = rrdb_mod.init_rrdb(jax.random.PRNGKey(0), nf=8, nb=2, gc=4,
+                           upsampling=False)
+    x = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+
+    def loss(params):
+        return jnp.sum(rrdb_mod.rrdb_encode(params, x) ** 2)
+
+    monkeypatch.setenv("BFSR_RRDB_REMAT", "acts")
+    g_acts = jax.jit(jax.grad(loss))(p)
+    monkeypatch.setenv("BFSR_RRDB_REMAT", "full")
+    g_full = jax.jit(jax.grad(loss))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_acts),
+                    jax.tree_util.tree_leaves(g_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_restore_opt_state_fallback(capsys):
+    """Old checkpoints without opt_state (or with a stale structure)
+    degrade to a fresh optimizer init instead of crashing."""
+    import optax
+    import srflow_train as st
+
+    params = {"w": jnp.ones((3,))}
+    optimizer = optax.adam(1e-4)
+    fresh = optimizer.init(params)
+    logs = []
+    # missing opt_state
+    out = st._restore_opt_state({"params": params}, optimizer, params,
+                                logs.append)
+    assert jax.tree_util.tree_structure(out) == \
+        jax.tree_util.tree_structure(fresh)
+    # stale structure
+    out = st._restore_opt_state({"opt_state": {"bogus": 1}}, optimizer,
+                                params, logs.append)
+    assert jax.tree_util.tree_structure(out) == \
+        jax.tree_util.tree_structure(fresh)
+    assert logs and "reinitializing" in logs[0]
+
+
 def test_psnr_uint8_matches_definition(rng):
     a = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
     b = np.clip(a.astype(np.int32) + 10, 0, 255).astype(np.uint8)
