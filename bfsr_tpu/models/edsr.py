@@ -7,6 +7,8 @@ output (out_dim = n_feats); otherwise a pixel-shuffle Upsampler + final conv
 produce RGB.
 """
 
+import functools
+
 import jax
 
 from bfsr_tpu.models.base import Model
@@ -86,6 +88,29 @@ def edsr_apply_fused(params, x, res_scale=1.0):
     return s2d.depth_to_space_h(res + h0)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _edsr_fused_diff(params, x, res_scale):
+    """edsr_apply_fused with a VJP that runs the XLA form: pallas_call has
+    no differentiation rule, and the two forms are numerically identical
+    (3-pass bf16 == XLA HIGH), so grads through the fused encoder are the
+    XLA path's grads."""
+    return edsr_apply_fused(params, x, res_scale)
+
+
+def _edsr_fused_fwd(params, x, res_scale):
+    return edsr_apply_fused(params, x, res_scale), (params, x)
+
+
+def _edsr_fused_bwd(res_scale, saved, g):
+    params, x = saved
+    _, vjp = jax.vjp(
+        lambda p, xx: edsr_apply(p, xx, res_scale, no_upsampling=True), params, x)
+    return vjp(g)
+
+
+_edsr_fused_diff.defvjp(_edsr_fused_fwd, _edsr_fused_bwd)
+
+
 class _EDSR(Model):
     def __init__(self, n_resblocks, n_feats, res_scale, scale, no_upsampling, rgb_range, name):
         super().__init__()
@@ -110,7 +135,12 @@ class _EDSR(Model):
                      and x.shape[0] == 1 and x.shape[1] % 2 == 0
                      and self.n_feats <= 64)
         if fused:
-            return edsr_apply_fused(params, x, self.res_scale)
+            # differentiable wrapper: the Pallas forward has no VJP rule,
+            # so the backward runs through the (numerically identical)
+            # XLA form — the auto-enabled fused path stays safe under
+            # jax.grad (every in-repo trainer stop_gradients the encoder,
+            # but the public apply must not require knowing that)
+            return _edsr_fused_diff(params, x, self.res_scale)
         return edsr_apply(params, x, self.res_scale, self.no_upsampling, self.scale)
 
     def __call__(self, x):

@@ -187,11 +187,19 @@ def sample_sr(model, lr_img01, heat=0.0, seed=0):
     lr = jnp.asarray(padded[None], jnp.float32)
     key = jax.random.PRNGKey(seed)
     z = model.sample_z(key, heat, 1, lr.shape[1:3])
-    fn = getattr(model, "_sample_sr_fn", None)
+    # cache key includes the global precision mode: the traced program
+    # bakes the conv precision in, so a mode switch mid-process (e.g. a
+    # serving-vs-HIGH sweep) must not re-dispatch the stale compile
+    from bfsr_tpu.ops import nn as _fnn
+
+    cache = getattr(model, "_sample_sr_fns", None)
+    if cache is None:
+        cache = model._sample_sr_fns = {}
+    fn = cache.get(_fnn.default_precision())
     if fn is None:
         fn = jax.jit(lambda p, x, z_, h_, k: model.get_sr(p, x, heat=h_,
                                                           z=z_, key=k))
-        model._sample_sr_fn = fn
+        cache[_fnn.default_precision()] = fn
     sr = fn(model.params, lr, z, jnp.float32(heat), key)
     s = model.scale
     return np.asarray(jnp.clip(sr, 0.0, 1.0))[0][: h * s, : w * s]

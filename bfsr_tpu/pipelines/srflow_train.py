@@ -50,7 +50,7 @@ def make_srflow_train_step(model, optimizer, weight_fl=1.0, weight_l1=0.0,
         if weight_l1 > 0:
             z = model.sample_z(key, 0.0, lq.shape[0], lq.shape[1:3])
             sr, _ = model.reverse_flow(params, lq, z=z, eps_std=0.0,
-                                       lr_enc=lr_enc)
+                                       lr_enc=lr_enc, want_logdet=False)
             losses["l1_loss"] = jnp.mean(jnp.abs(sr - gt)) * weight_l1
         total = sum(losses.values())
         return total, losses

@@ -46,11 +46,13 @@ def device_sync(x):
     """
     import numpy as np
 
-    flat = jax.tree_util.tree_leaves(x)
-    if flat:
-        # index on DEVICE first: np.asarray(full_leaf) would pull the whole
-        # array over the ~5 MB/s tunnel and dominate the measurement
-        np.asarray(flat[0].ravel()[0])
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            # index on DEVICE first: np.asarray(full_leaf) would pull the
+            # whole array over the ~5 MB/s tunnel and dominate the
+            # measurement.  Skip Python scalars / empty leaves.
+            np.asarray(leaf.ravel()[0])
+            break
     return x
 
 

@@ -143,9 +143,10 @@ def train_sr(opt, args):
                 writer.add_scalars("train", {"loss": float(mets["loss"])}, it)
             if it and it % save_freq == 0:
                 model.params = params
-                ckpt.save_checkpoint(os.path.join(save_path, f"G_{it}.ckpt"),
+                ckpt.save_checkpoint(os.path.join(save_path, f"G_{it + 1}.ckpt"),
                                      {"params": params, "spec": model.args,
-                                      "iter": it, "opt_state": opt_state})
+                                      "iter": it + 1,
+                                      "opt_state": opt_state})
                 ckpt.keep_newest(save_path, "G_", 2)
             it += 1
     model.params = params
@@ -247,9 +248,10 @@ def main():
                 writer.add_scalars("train", {k: float(v) for k, v in mets.items()}, it)
             if it and it % save_freq == 0:
                 model.params = params
-                ckpt.save_checkpoint(os.path.join(save_path, f"G_{it}.ckpt"),
+                ckpt.save_checkpoint(os.path.join(save_path, f"G_{it + 1}.ckpt"),
                                      {"params": params, "spec": model.args,
-                                      "iter": it, "opt_state": opt_state})
+                                      "iter": it + 1,
+                                      "opt_state": opt_state})
                 ckpt.keep_newest(save_path, "G_", 2)
             it += 1
     model.params = params

@@ -204,9 +204,7 @@ def linf_utils():
 
     fake_tbx.SummaryWriter = _FakeWriter
     new = {"tensorboardX": fake_tbx} if "tensorboardX" not in sys.modules else {}
-    new["utils"] = None  # force re-import of the reference module under 'utils'
-    saved_utils = sys.modules.pop("utils", None)
-    del new["utils"]
+    saved_utils = sys.modules.pop("utils", None)  # force a fresh 'utils' import
     with _scoped_modules(new, [LINF_ROOT]):
         try:
             mod = importlib.import_module("utils")

@@ -133,3 +133,30 @@ def test_edsr_fused_matches_xla(rng):
     got = enc.apply(enc.params, x, fused=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
 
+
+def test_edsr_fused_is_differentiable(rng):
+    """jax.grad through the fused path works (custom_vjp routes the
+    backward through the XLA form, since pallas_call has no VJP rule)
+    and matches the XLA path's grads."""
+    import jax
+    import jax.numpy as jnp
+    from bfsr_tpu import registry
+    import bfsr_tpu.models  # noqa: F401
+
+    enc = registry.make({"name": "edsr-baseline",
+                         "args": {"n_resblocks": 2, "n_feats": 8,
+                                  "no_upsampling": True}})
+    x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+
+    def loss(p, fused):
+        return jnp.sum(enc.apply(p, x, fused=fused) ** 2)
+
+    g_fused = jax.grad(lambda p: loss(p, True))(enc.params)
+    g_xla = jax.grad(lambda p: loss(p, False))(enc.params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_xla)):
+        # the fused forward differs from XLA by ~3e-5 (3-pass bf16
+        # rounding), which rides into the cotangent
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-4)
+
