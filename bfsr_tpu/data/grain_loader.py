@@ -20,13 +20,6 @@ directly.
 import numpy as np
 
 
-def _stack(samples):
-    out = {}
-    for k in samples[0]:
-        out[k] = np.stack([s[k] for s in samples], axis=0)
-    return out
-
-
 class _Source:
     """grain RandomAccessDataSource view of a map-style dataset."""
 

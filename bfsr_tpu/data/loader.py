@@ -69,7 +69,15 @@ class DataLoader:
                     result = e
                 with results_lock:
                     results[bi] = result
-                q.put(bi)
+                # bounded put that re-checks stop: a consumer that quits
+                # early (--limit break, exception) would otherwise leave
+                # workers blocked forever on a full queue
+                while not stop.is_set():
+                    try:
+                        q.put(bi, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]

@@ -35,15 +35,19 @@ class LRHRPkl:
     def __getitem__(self, idx):
         hr = np.asarray(self.hrs[idx], np.float32) / 255.0
         lq = np.asarray(self.lqs[idx], np.float32) / 255.0
-        if self.gt_size and hr.shape[0] > self.gt_size:
+        if self.gt_size and (hr.shape[0] > self.gt_size
+                             or hr.shape[1] > self.gt_size):
+            # crop each axis independently: non-square frames (or one axis
+            # already <= gt_size) must not feed an empty randint range
             s = hr.shape[0] // lq.shape[0]
-            y0 = random.randint(0, hr.shape[0] - self.gt_size)
-            x0 = random.randint(0, hr.shape[1] - self.gt_size)
+            gy = min(self.gt_size, hr.shape[0])
+            gx = min(self.gt_size, hr.shape[1])
+            y0 = random.randint(0, hr.shape[0] - gy)
+            x0 = random.randint(0, hr.shape[1] - gx)
             y0 -= y0 % s
             x0 -= x0 % s
-            hr = hr[y0: y0 + self.gt_size, x0: x0 + self.gt_size]
-            lq = lq[y0 // s: (y0 + self.gt_size) // s,
-                    x0 // s: (x0 + self.gt_size) // s]
+            hr = hr[y0: y0 + gy, x0: x0 + gx]
+            lq = lq[y0 // s: (y0 + gy) // s, x0 // s: (x0 + gx) // s]
         if self.use_flip and random.random() < 0.5:
             hr = np.ascontiguousarray(hr[:, ::-1])
             lq = np.ascontiguousarray(lq[:, ::-1])

@@ -289,15 +289,26 @@ def warmup_predictor(model, prior_model, lr_shapes, scale, pad_multiple=0,
 
     use_prior = use_prior if use_prior is not None else prior_model is not None
     d = getattr(model, "dim", 3)
+    ps = getattr(model, "patch_size", 1)
     for (h, w) in buckets:
         t0 = _time.perf_counter()
         inp = jnp.zeros((1, h, w, 3), jnp.float32)
-        coord = jnp.asarray(
-            make_coord_np((scale * h, scale * w), flatten=False)[None])
-        cell = jnp.asarray([[2.0 / (scale * h), 2.0 / (scale * w)]],
-                           jnp.float32)
-        gt_lr_up = (jnp.zeros((1, scale * h, scale * w, d), jnp.float32)
-                    if use_prior else None)
+        H, W = scale * h, scale * w
+        if ps > 1:
+            # patch models query the PATCH-CENTER grid (the wrapper always
+            # pads, even at %ps==0 — wrappers.py:198) at d=3*ps^2 channels;
+            # warming the full grid would compile programs the sweep never
+            # runs
+            hc = (H + (ps - H % ps)) // ps
+            wc = (W + (ps - W % ps)) // ps
+            coord = jnp.asarray(make_coord_np((hc, wc), flatten=False)[None])
+            gt_lr_up = (jnp.zeros((1, hc, wc, d), jnp.float32)
+                        if use_prior else None)
+        else:
+            coord = jnp.asarray(make_coord_np((H, W), flatten=False)[None])
+            gt_lr_up = (jnp.zeros((1, H, W, d), jnp.float32)
+                        if use_prior else None)
+        cell = jnp.asarray([[2.0 / H, 2.0 / W]], jnp.float32)
         r = predictor.predict(model.params,
                               prior_model.params if prior_model else None,
                               inp, coord, cell, gt_lr_up)
@@ -359,6 +370,14 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
         # bucketing: reflect-pad LR to a shape bucket; pred is cropped back
         # to gt below, so metrics differ only by border receptive fields
         eff_window = window_size or pad_multiple
+        if eff_window != 0 and patch:
+            # the padded-grid rebuild below replaces the wrapper's
+            # patch-center coords with a full HR grid, which the patch
+            # predictor would misinterpret (each query folds to a ps x ps
+            # patch); the reference never combines window with patch
+            raise ValueError("window/pad_multiple cannot be combined with "
+                             "patch mode: patch eval queries patch-center "
+                             "grids, not the padded full grid")
         if eff_window != 0:
             # SwinIR protocol: reflect-pad LR to a window multiple and query
             # the padded HR grid; pred is cropped to gt below
@@ -453,7 +472,8 @@ def eval_psnr(loader, model, prior_model=None, data_norm=None, eval_type=None,
             val_lr.add(sum(lr_ps) / len(lr_ps), 1)
         if randomness:
             stack = np.stack([np.round(p[0] * 255.0) for p in denorm])
-            val_div.add(float(np.std(stack, axis=0).mean()), 1)
+            # torch.std is unbiased (ddof=1) — reference test.py:202-209
+            val_div.add(float(np.std(stack, axis=0, ddof=1).mean()), 1)
 
         if verbose:
             log_fn(f"[{idx}] psnr {val_psnr.item():.4f}")

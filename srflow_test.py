@@ -68,23 +68,24 @@ def load_srflow_model(opt):
     else:
         print(f"WARNING: model_path {path!r} missing; random init "
               "(smoke-test mode)")
-        model.freeze()
+    # freeze on EVERY branch: eval needs the host-side invconv inverse
+    # caches (float64, like the reference's .double() inverse) and the
+    # folded actnorm+invconv affines — a .ckpt load carries none of them
+    model.freeze()
     return model
 
 
 def load_prior_from_conf(opt):
-    spec = dict(opt["prior_model"])
-    if spec["name"] == "unet":
-        spec = {"name": "srflow-unet", "args": spec.get("args", {})}
-    prior = registry.make(spec)
     path = opt.get("prior_model_path")
     if path and os.path.exists(path):
         from bfsr_tpu.convert.load import load_prior_model
 
-        prior = load_prior_model(path)
-    else:
-        print(f"WARNING: prior_model_path {path!r} missing; random init")
-    return prior
+        return load_prior_model(path)
+    print(f"WARNING: prior_model_path {path!r} missing; random init")
+    spec = dict(opt["prior_model"])
+    if spec["name"] == "unet":
+        spec = {"name": "srflow-unet", "args": spec.get("args", {})}
+    return registry.make(spec)
 
 
 def main():
@@ -134,12 +135,18 @@ def main():
         )
     measure = Measure(lpips_model)
 
+    # check the inputs BEFORE the (potentially minutes-long) model build
+    lr_paths = natsorted(glob.glob(os.path.join(opt["dataroot_LR"], "*.png")))
+    hr_paths = natsorted(glob.glob(os.path.join(opt["dataroot_GT"], "*.png")))
+    if not lr_paths or not hr_paths:
+        raise SystemExit(
+            f"no .png images found (dataroot_LR={opt['dataroot_LR']!r}: "
+            f"{len(lr_paths)} files, dataroot_GT={opt['dataroot_GT']!r}: "
+            f"{len(hr_paths)} files) — check the conf paths")
+
     model = load_srflow_model(opt)
     prior = load_prior_from_conf(opt)
     predictor = SRFlowLPPredictor(model, prior, pad_multiple=args.pad_multiple)
-
-    lr_paths = natsorted(glob.glob(os.path.join(opt["dataroot_LR"], "*.png")))
-    hr_paths = natsorted(glob.glob(os.path.join(opt["dataroot_GT"], "*.png")))
     if args.limit:
         lr_paths, hr_paths = lr_paths[: args.limit], hr_paths[: args.limit]
 

@@ -165,9 +165,14 @@ def main():
         eval_type = config.get("eval_type")
         warmup_scale = (int(args.scale_max) if eval_type is None
                         else int(eval_type.split("-")[-1]))
+        # mirror eval_psnr's clamp: a mismatched tile size would compile
+        # different programs than the sweep dispatches
+        warm_tq = args.tile_queries
+        if config.get("eval_bsize"):
+            warm_tq = min(warm_tq, int(config["eval_bsize"]))
         warmup_predictor(model, prior_model, shapes, scale=warmup_scale,
                          pad_multiple=int(args.window) or args.pad_multiple,
-                         tile_queries=args.tile_queries)
+                         tile_queries=warm_tq)
 
     res = eval_psnr(
         loader, model,

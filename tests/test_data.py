@@ -122,3 +122,23 @@ def test_loader_orders_and_stacks(image_dir):
     assert len(batches) == 2
     assert batches[0]["inp"].shape == (2, 8, 8, 3)
     assert batches[0]["cell"].shape == (2, 2)
+
+
+def test_loader_early_exit_drains_workers(image_dir):
+    """A consumer that stops early (--limit / exception) must not leave
+    worker threads blocked forever on a full prefetch queue."""
+    import threading
+    import time
+
+    ds = registry.make({"name": "image-folder", "args": {"root_path": image_dir}})
+    w = registry.make({"name": "sr-implicit-downsampled-fast",
+                       "args": {"inp_size": 8, "scale_max": 2}},
+                      args={"dataset": ds})
+    before = threading.active_count()
+    loader = DataLoader(w, batch_size=1, shuffle=False, num_workers=3)
+    for batch in loader:
+        break  # early exit with 3 more batches pending
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "loader workers leaked"
