@@ -131,8 +131,12 @@ class _EDSR(Model):
 
     def apply(self, params, x, fused=None):
         if fused is None:
+            # >=8 extent floor: tiny shapes are the documented Mosaic DMA
+            # fault class (rrdb._use_s2d_trunk gates the same way); 8x8
+            # LR is hardware-verified by selfcheck.py
             fused = (jax.default_backend() == "tpu" and self.no_upsampling
                      and x.shape[0] == 1 and x.shape[1] % 2 == 0
+                     and x.shape[1] >= 8 and x.shape[2] >= 8
                      and self.n_feats <= 64)
         if fused:
             # differentiable wrapper: the Pallas forward has no VJP rule,

@@ -77,28 +77,11 @@ def dense_block5c_scatter(x, p):
             acc[k] = v if acc[k] is None else acc[k] + v
             off += couts[k]
 
-    spread(0, _conv_y3(x, ws[0]))
+    spread(0, fnn.conv3x3_y3(x, ws[0]))
     for j in range(1, 5):
         t = acc[j - 1] if bs[j - 1] is None else acc[j - 1] + bs[j - 1]
-        spread(j, _conv_y3(fnn.leaky_relu(t), ws[j]))
+        spread(j, fnn.conv3x3_y3(fnn.leaky_relu(t), ws[j]))
     return acc[4] if bs[4] is None else acc[4] + bs[4]
-
-
-def _conv_y3(x, w):
-    """3x3 SAME conv as a half-im2col: lane-concat the 3 row shifts once
-    (K=3C), then 3 accumulated column-shift matmuls."""
-    h, wd = x.shape[1], x.shape[2]
-    c = x.shape[-1]
-    pads = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    colsy = jnp.concatenate([pads[:, dy:dy + h] for dy in range(3)], -1)
-    k = w.transpose(1, 0, 2, 3).reshape(3, 3 * c, w.shape[-1])
-    acc = None
-    for dx in range(3):
-        y = jnp.einsum("bhwc,co->bhwo", colsy[:, :, dx:dx + wd], k[dx],
-                       preferred_element_type=jnp.float32,
-                       precision=fnn.default_precision())
-        acc = y if acc is None else acc + y
-    return acc
 
 
 # -- DoubleConv / Down / Up --------------------------------------------------

@@ -494,7 +494,16 @@ def split2d(x, p, logdet, ft=None, reverse=False, eps=None, eps_std=None,
     z1 = x
     mean, logs = split2d_prior(z1, ft, p)
     if eps is None:
-        eps = jax.random.normal(key, mean.shape, mean.dtype) * (eps_std if eps_std is not None else 1.0)
+        if key is None:
+            # keyless heat-0 decode: the reference's sample_eps * eps_std
+            # is deterministically zero at heat 0 with no RNG involved
+            if eps_std:
+                raise ValueError("split2d reverse with eps_std > 0 needs a "
+                                 "PRNG key (or explicit eps)")
+            eps = jnp.zeros(mean.shape, mean.dtype)
+        else:
+            eps = jax.random.normal(key, mean.shape, mean.dtype) * (
+                eps_std if eps_std is not None else 1.0)
     z2 = mean + (jnp.exp(logs) + logs_eps) * eps
     z = jnp.concatenate([z1, z2], -1)
     if logdet is not None:

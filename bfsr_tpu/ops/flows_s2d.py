@@ -148,11 +148,9 @@ def _flow_f_split(z1_4, p, aff1_ft4):
     h = _an_relu(y, p["conv1"]["actnorm"])
     # conv2 is 1x1 (kernel_hidden=1): per-phase matmul
     w2 = p["conv2"]["w"]
-    hid = w2.shape[3]
     h = jnp.einsum("bhwpi,io->bhwpo", _per_phase(h, w2.shape[2]), w2[0, 0],
                    preferred_element_type=jnp.float32,
                    precision=fnn.default_precision())
-    del hid
     h = fnn.relu((h + p["conv2"]["actnorm"]["bias"])
                  * jnp.exp(p["conv2"]["actnorm"]["logs"]))
     o = conv2d_s2d(_flat(h), p["out"]["w"], b=p["out"]["b"])
@@ -241,8 +239,15 @@ def split2d(x4, p, logdet, reverse=False, eps=None, eps_std=None, key=None,
     h = _conv_zeros(z1, p["conv"])
     mean4, logs4 = _scale_shift_raw(h)
     if eps is None:
-        eps4 = jax.random.normal(key, mean4.shape, mean4.dtype) * (
-            eps_std if eps_std is not None else 1.0)
+        if key is None:
+            # keyless heat-0 decode (see flows.split2d): zero eps, no RNG
+            if eps_std:
+                raise ValueError("split2d reverse with eps_std > 0 needs a "
+                                 "PRNG key (or explicit eps)")
+            eps4 = jnp.zeros(mean4.shape, mean4.dtype)
+        else:
+            eps4 = jax.random.normal(key, mean4.shape, mean4.dtype) * (
+                eps_std if eps_std is not None else 1.0)
     else:
         eps4 = to_s2d(eps)
     z2 = mean4 + jnp.exp(logs4) * eps4

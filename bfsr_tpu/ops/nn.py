@@ -70,6 +70,26 @@ def conv2d(x, p, stride=1, padding="SAME", dilation=1, precision=None):
     return y.astype(x.dtype)
 
 
+def conv3x3_y3(x, w):
+    """3x3 SAME conv as a half-im2col: lane-concat the 3 row shifts once
+    (K=3C), then 3 accumulated column-shift matmuls.  Beats both the full
+    im2col (3x less materialization traffic) and 9 K=C dots (K 3x wider,
+    2 accumulate passes instead of 8) for the wide-out scatter-form dense
+    blocks (rrdb/unet)."""
+    h, wd = x.shape[1], x.shape[2]
+    c = x.shape[-1]
+    pads = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    colsy = jnp.concatenate([pads[:, dy:dy + h] for dy in range(3)], -1)
+    k = w.transpose(1, 0, 2, 3).reshape(3, 3 * c, w.shape[-1])  # (dx, 3C, N)
+    acc = None
+    for dx in range(3):
+        y = jnp.einsum("bhwc,co->bhwo", colsy[:, :, dx:dx + wd], k[dx],
+                       preferred_element_type=jnp.float32,
+                       precision=default_precision())
+        acc = y if acc is None else acc + y
+    return acc
+
+
 def linear(x, p, precision=None):
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32,
                 precision=precision or _PRECISION)

@@ -191,6 +191,9 @@ def flow_inverse(params, z, affine_info, interpret=False):
     n_layers = params["w"].shape[0] - 1
     d = params["w"].shape[-1]
     assert "w_inv" in params, "flow_inverse requires cached inverses (freeze())"
+    if d == 3 and 2 * d * n_layers > 64:
+        raise ValueError("tuned d=3 kernels support <= 10 flow layers "
+                         "(info rows pad to 64); use pointwise_flow")
     z_cm, n = _to_cm(z.astype(jnp.float32), cm_rows(d) if d != 3 else 8)
     info_cm, _ = _to_cm(affine_info.astype(jnp.float32),
                         cm_rows(2 * d * n_layers) if d != 3 else 64)
@@ -204,6 +207,9 @@ def flow_forward(params, x, affine_info, interpret=False):
     """Pallas twin of pointwise_flow.forward (z only, no log-prob)."""
     n_layers = params["w"].shape[0] - 1
     d = params["w"].shape[-1]
+    if d == 3 and 2 * d * n_layers > 64:
+        raise ValueError("tuned d=3 kernels support <= 10 flow layers "
+                         "(info rows pad to 64); use pointwise_flow")
     x_cm, n = _to_cm(x.astype(jnp.float32), cm_rows(d) if d != 3 else 8)
     info_cm, _ = _to_cm(affine_info.astype(jnp.float32),
                         cm_rows(2 * d * n_layers) if d != 3 else 64)

@@ -63,6 +63,12 @@ class LINFPredictor:
             # patch models (d=27) included: the generic-d cm kernels beat
             # the XLA scan path there too (13.6 vs 16.7 ms at 516^2)
             use_pallas = jax.default_backend() == "tpu"
+            # the tuned d=3 kernels pad affine-info to 64 rows — flows
+            # deeper than 10 layers (2*3*L > 64) need the jnp path
+            n_layers = getattr(model, "flow_layers", None)
+            if (use_pallas and getattr(model, "dim", 3) == 3
+                    and n_layers is not None and 2 * 3 * n_layers > 64):
+                use_pallas = False
         self.use_pallas = use_pallas
         self._predict = jax.jit(self._predict_impl, static_argnames=("use_prior", "sample"))
 

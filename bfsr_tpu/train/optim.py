@@ -136,10 +136,19 @@ def make_optimizer(spec, schedule=None):
         betas = args.pop("betas", (0.9, 0.999))
         eps = args.pop("eps", 1e-8)
         wd = args.pop("weight_decay", 0.0)
+        opt = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
         if wd:
-            return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd)
-        return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+            # torch Adam's weight_decay is COUPLED L2 (wd*param added to
+            # the gradient BEFORE the moment update) — not AdamW's
+            # decoupled decay; add_decayed_weights ahead of adam
+            # reproduces the torch dynamics exactly
+            return optax.chain(optax.add_decayed_weights(wd), opt)
+        return opt
     if name == "sgd":
         momentum = args.pop("momentum", 0.0)
-        return optax.sgd(lr, momentum=momentum or None)
+        wd = args.pop("weight_decay", 0.0)
+        opt = optax.sgd(lr, momentum=momentum or None)
+        if wd:  # torch SGD weight_decay is also grad += wd*param
+            return optax.chain(optax.add_decayed_weights(wd), opt)
+        return opt
     raise ValueError(name)

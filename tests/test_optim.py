@@ -219,3 +219,55 @@ def test_warmup_linear_ramp_jitted():
         np.testing.assert_allclose(lr, want, rtol=1e-6)
     # disabled (-1) returns the schedule unchanged
     assert with_warmup(sched, base, -1) is sched
+
+
+def test_adam_weight_decay_matches_torch_coupled_l2():
+    """torch Adam's weight_decay is coupled L2 (grad += wd*param before the
+    moment update) — make_optimizer must reproduce it, NOT AdamW."""
+    import torch
+
+    wd, lr = 0.1, 1e-2
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal(5).astype(np.float32)
+    grads = [rng.standard_normal(5).astype(np.float32) for _ in range(4)]
+
+    tp = torch.tensor(p0.copy(), requires_grad=True)
+    topt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    opt = make_optimizer({"name": "adam", "args": {"lr": lr,
+                                                   "weight_decay": wd}})
+    jp = jnp.asarray(p0)
+    state = opt.init(jp)
+    for g in grads:
+        updates, state = opt.update(jnp.asarray(g), state, jp)
+        jp = optax.apply_updates(jp, updates)
+    np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sgd_weight_decay_matches_torch():
+    import torch
+
+    wd, lr, mom = 0.05, 1e-2, 0.9
+    rng = np.random.default_rng(1)
+    p0 = rng.standard_normal(5).astype(np.float32)
+    grads = [rng.standard_normal(5).astype(np.float32) for _ in range(4)]
+
+    tp = torch.tensor(p0.copy(), requires_grad=True)
+    topt = torch.optim.SGD([tp], lr=lr, momentum=mom, weight_decay=wd)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    opt = make_optimizer({"name": "sgd", "args": {"lr": lr, "momentum": mom,
+                                                  "weight_decay": wd}})
+    jp = jnp.asarray(p0)
+    state = opt.init(jp)
+    for g in grads:
+        updates, state = opt.update(jnp.asarray(g), state, jp)
+        jp = optax.apply_updates(jp, updates)
+    np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)

@@ -62,6 +62,37 @@ def test_decode_from_zero_z(rng):
     assert np.isfinite(np.asarray(sr)).all()
 
 
+def test_keyless_heat0_decode(rng):
+    """reverse_flow at eps_std=0 with NO key must decode deterministically
+    (reference sample_eps * eps_std is zero at heat 0 without RNG) — this
+    is the weight_l1 training path's decode."""
+    m = small_srflow().freeze()
+    lr = jnp.asarray(rng.random((1, 4, 4, 3)).astype(np.float32))
+    z = m.sample_z(None, 0.0, 1, (4, 4))
+    sr, _ = m.reverse_flow(m.params, lr, z=z, eps_std=0.0)  # no key
+    assert sr.shape == (1, 16, 16, 3)
+    sr2, _ = m.reverse_flow(m.params, lr, z=z, eps_std=0.0,
+                            key=jax.random.PRNGKey(7))
+    # keyed at heat 0: normal()*0 == the keyless zeros
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(sr2), atol=1e-6)
+
+
+def test_weight_l1_train_step_smoke(rng):
+    """The l1-at-heat-0 loss path (weight_l1 > 0) runs end-to-end."""
+    import optax
+    from bfsr_tpu.pipelines.srflow_train import make_srflow_train_step
+
+    m = small_srflow()
+    optimizer = optax.adam(1e-4)
+    step = make_srflow_train_step(m, optimizer, weight_fl=1.0, weight_l1=0.5)
+    batch = {"GT": jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32)),
+             "LQ": jnp.asarray(rng.random((2, 4, 4, 3)).astype(np.float32))}
+    params, _, mets = step(m.params, optimizer.init(m.params), batch,
+                           jax.random.PRNGKey(0), jnp.asarray(0))
+    assert np.isfinite(float(mets["loss"]))
+    assert np.isfinite(float(mets["l1_loss"]))
+
+
 def test_learned_prior_path(rng):
     """encode -> standardize -> two-branch unet -> decode (test.py:134-148)."""
     m = small_srflow().freeze()
