@@ -19,17 +19,32 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fil
 _SO_PATH = os.path.join(_NATIVE_DIR, "libbfsr_native.so")
 
 
+def _stale():
+    """True when the .so is missing or older than its sources (the lib is
+    built with -march=native, so a stale or foreign-host binary must be
+    rebuilt rather than trusted)."""
+    if not os.path.exists(_SO_PATH):
+        return True
+    so_mtime = os.path.getmtime(_SO_PATH)
+    for src in ("bfsr_native.cc", "Makefile"):
+        p = os.path.join(_NATIVE_DIR, src)
+        if os.path.exists(p) and os.path.getmtime(p) > so_mtime:
+            return True
+    return False
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO_PATH):
+    if _stale():
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+            subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_SO_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
@@ -57,9 +72,19 @@ def _fptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
+def _require():
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "libbfsr_native.so unavailable (no prebuilt .so and the build "
+            "failed — is g++/make installed?); guard calls with "
+            "native.available() to use the numpy fallbacks")
+    return lib
+
+
 def bilinear_resize(img_hwc, out_hw, align_corners=False):
     """Native torch-semantics bilinear resize; f32 HWC."""
-    lib = _load()
+    lib = _require()
     src = np.ascontiguousarray(img_hwc, dtype=np.float32)
     h, w, c = src.shape
     oh, ow = out_hw
@@ -71,7 +96,7 @@ def bilinear_resize(img_hwc, out_hw, align_corners=False):
 
 def updownup_residual(lr_norm_hwc, out_hw):
     """Fused lr_up + up-down-up residual (wrappers.py:132-134)."""
-    lib = _load()
+    lib = _require()
     src = np.ascontiguousarray(lr_norm_hwc, dtype=np.float32)
     h, w, c = src.shape
     H, W = out_hw
@@ -85,7 +110,7 @@ def updownup_residual(lr_norm_hwc, out_hw):
 def bicubic_resize(img_hwc, out_hw):
     """Native MATLAB-imresize bicubic (f32; metric-grade path stays f64
     numpy)."""
-    lib = _load()
+    lib = _require()
     src = np.ascontiguousarray(img_hwc, dtype=np.float32)
     h, w, c = src.shape
     oh, ow = out_hw

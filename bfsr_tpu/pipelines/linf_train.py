@@ -16,17 +16,14 @@ import jax.numpy as jnp
 import optax
 
 from bfsr_tpu.models.unet import apply_bn_updates
-
-
-def l1(a, b):
-    return jnp.mean(jnp.abs(a - b))
+from bfsr_tpu.pipelines.losses import l1_loss as l1
 
 
 def make_train_step(linf_model, prior_model, vgg_model, optimizer,
                     vgg_weight=1.0, latent_weight=0.0, data_norm=None,
                     patch=False):
     """Returns jitted step(prior_params, opt_state, linf_params, vgg_params,
-    batch, key) -> (prior_params, opt_state, metrics)."""
+    batch) -> (prior_params, opt_state, metrics)."""
     dn = data_norm or {"inp": {"sub": [0.5], "div": [0.5]},
                        "gt": {"sub": [0.5], "div": [0.5]}}
     inp_sub = jnp.asarray(dn["inp"]["sub"], jnp.float32)

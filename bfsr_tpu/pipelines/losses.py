@@ -16,8 +16,9 @@ def l2_loss(pred, target):
 
 
 def charbonnier_loss(pred, target, eps=1e-6):
-    """sqrt(diff^2 + eps^2) robust L1 (loss.py CharbonnierLoss; the
-    reference uses eps=1e-6 under the sqrt)."""
+    """sum(sqrt(diff^2 + eps)) robust L1 — a SUM over all elements with
+    eps added UN-squared, exactly the reference CharbonnierLoss
+    (loss.py:21-31)."""
     diff = pred - target
     return jnp.sum(jnp.sqrt(diff * diff + eps))
 

@@ -15,14 +15,15 @@ def make_sr_train_step(model, optimizer, pixel_criterion="cb", pixel_weight=1.0)
 
     Criterion semantics match the torch modules the reference wires up:
     'l1' = nn.L1Loss (mean), 'l2' = nn.MSELoss (mean), 'cb' =
-    CharbonnierLoss (a SUM over elements, loss.py:21-31) — normalized here
-    by batch size only, like torch's per-batch backward."""
+    CharbonnierLoss — a pure SUM over elements (loss.py:21-31), NOT
+    normalized: torch backward of the sum gives gradients that scale with
+    element count, and reference configs tune lr against that."""
     if pixel_criterion == "l1":
         crit = l1_loss
     elif pixel_criterion == "l2":
         crit = l2_loss
     elif pixel_criterion == "cb":
-        crit = lambda p, t: charbonnier_loss(p, t) / p.shape[0]  # noqa: E731
+        crit = charbonnier_loss
     else:
         raise NotImplementedError(
             f"Loss type [{pixel_criterion}] is not recognized.")

@@ -59,7 +59,6 @@ def _filter2d_valid(img, window):
     pad = window.shape[0] // 2
     padded = np.pad(img, pad, mode="reflect")  # numpy 'reflect' == reflect-101
     # correlate via stride tricks: output same size as img
-    out = np.zeros_like(img, dtype=np.float64)
     k = window.shape[0]
     windows = np.lib.stride_tricks.sliding_window_view(padded, (k, k))
     out = np.einsum("ijkl,kl->ij", windows, window)

@@ -34,6 +34,21 @@ def test_gan_loss_parity(gan_type, target_is_real, rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_charbonnier_parity(rng):
+    """Pure SUM over elements, eps added un-squared (loss.py:21-31) —
+    reduction semantics matter: reference lrs are tuned against the sum."""
+    from bfsr_tpu.pipelines.losses import charbonnier_loss
+
+    ref_loss = _ref_losses()
+    a = rng.random((3, 8, 8, 3)).astype(np.float32)
+    b = rng.random((3, 8, 8, 3)).astype(np.float32)
+    crit = ref_loss.CharbonnierLoss()
+    with torch.no_grad():
+        ref = float(crit(torch.from_numpy(a), torch.from_numpy(b)))
+    ours = float(charbonnier_loss(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
 def test_gan_loss_unknown_type():
     with pytest.raises(NotImplementedError):
         gan_loss("hinge", jnp.zeros((2,)), True)

@@ -55,14 +55,15 @@ def to_device_batch(batch):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
-def main(config, save_path, patch=False):
+def main(config, save_path, patch=False, seed=0):
     global log
     log, writer = set_save_path(save_path)
     with open(os.path.join(save_path, "config.yaml"), "w") as f:
         yaml.dump(config, f, sort_keys=False)
 
-    train_loader = make_data_loader(config.get("train_dataset"), "train")
-    val_loader = make_data_loader(config.get("val_dataset"), "val")
+    train_loader = make_data_loader(config.get("train_dataset"), "train",
+                                    seed=seed)
+    val_loader = make_data_loader(config.get("val_dataset"), "val", seed=seed)
     data_norm = config.get("data_norm") or {
         "inp": {"sub": [0], "div": [1]}, "gt": {"sub": [0], "div": [1]},
     }
@@ -96,8 +97,10 @@ def main(config, save_path, patch=False):
     iters_per_epoch = len(train_loader)
     mslr = config.get("multi_step_lr")
     base_lr = config["optimizer"]["args"]["lr"]
+    # gamma default 0.1: the reference passes the config dict straight
+    # into torch MultiStepLR (train.py:104), whose default is 0.1
     schedule = (multi_step_lr(base_lr, [m * iters_per_epoch for m in mslr["milestones"]],
-                              mslr.get("gamma", 0.5)) if mslr else None)
+                              mslr.get("gamma", 0.1)) if mslr else None)
     optimizer = make_optimizer(config["optimizer"], schedule)
     opt_state = (resumed_opt_state if resumed_opt_state is not None
                  else optimizer.init(prior_model.params))
@@ -150,10 +153,13 @@ def main(config, save_path, patch=False):
                 prior_params, opt_state, linf_model.params,
                 vgg_model.params if vgg_model else {}, to_device_batch(batch),
             )
-            vgg_avg.add(float(mets["vgg_l"]))
-            lat_avg.add(float(mets["latent_l"]))
-            writer.add_scalars("loss", {"vgg_loss": float(mets["vgg_l"]),
-                                        "latent_loss": float(mets["latent_l"])}, it)
+            # ONE host fetch for all metrics: each float() is a separate
+            # ~29 ms tunnel round-trip serialized against the step
+            host_mets = jax.device_get(mets)
+            vgg_avg.add(float(host_mets["vgg_l"]))
+            lat_avg.add(float(host_mets["latent_l"]))
+            writer.add_scalars("loss", {"vgg_loss": float(host_mets["vgg_l"]),
+                                        "latent_loss": float(host_mets["latent_l"])}, it)
             it += 1
         prior_model.params = prior_params
 
@@ -195,11 +201,17 @@ if __name__ == "__main__":
     parser.add_argument("--tag", default=None)
     parser.add_argument("--patch", type=int, default=None,
                         help="patch size; rewrites wrapper/model names like the reference")
+    # (validated below: the reference requires an odd patch > 1 —
+    # patch models query patch-CENTER coordinates, train.py:312)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--allow_random_vgg", action="store_true",
                         help="proceed with a random-weight VGG perceptual "
                              "loss when no converted weights are given")
     args = parser.parse_args()
+    if args.patch is not None and (args.patch <= 1 or args.patch % 2 == 0):
+        parser.error("--patch must be an odd integer > 1 (patch models "
+                     "query patch-center coordinates; reference "
+                     "train.py:312)")
 
     with open(args.config) as f:
         config = yaml.safe_load(f)
@@ -227,4 +239,4 @@ if __name__ == "__main__":
 
     if args.allow_random_vgg:
         config["allow_random_vgg"] = True
-    main(config, save_path, patch=bool(args.patch))
+    main(config, save_path, patch=bool(args.patch), seed=args.seed)
