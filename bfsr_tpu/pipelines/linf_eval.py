@@ -72,9 +72,16 @@ class LINFPredictor:
         self.use_pallas = use_pallas
         self._predict = jax.jit(self._predict_impl, static_argnames=("use_prior", "sample"))
 
-    def _tile_rows(self, W):
+    def _tile_rows(self, W, H=None):
         rows = max(8, self.tile_queries // max(W, 1))
-        return max(8, (rows // 8) * 8)
+        rows = max(8, (rows // 8) * 8)
+        if H is None or H <= rows:
+            return rows
+        # equalize rows across tiles: ceil(H/W-derived-count) padded the
+        # last tile by up to T-1 rows (Set5 woman 344x228: T=280 -> Hp=560,
+        # 63% dead queries).  Same tile count, least T covering H.
+        n_tiles = -(-H // rows)
+        return max(8, -(-(-(-H // n_tiles)) // 8) * 8)
 
     def _predict_impl(self, linf_params, prior_params, inp, coord, cell, gt_lr_up,
                       temperature, key, use_prior, sample):
@@ -87,7 +94,7 @@ class LINFPredictor:
         model = self.model
         d = model.dim
         B, H, W, _ = coord.shape
-        T = self._tile_rows(W)
+        T = self._tile_rows(W, H)
         n_tiles = -(-H // T)
         Hp = n_tiles * T
         feat = model.gen_feat(linf_params, inp)
