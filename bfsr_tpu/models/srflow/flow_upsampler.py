@@ -173,6 +173,51 @@ def precompute_ft(params, plan, conds, lvl1_s2d=True, lvl1_parts=None):
     return out
 
 
+def prep_kernel_ctx(params, plan, ft_cache, interpret=False):
+    """Per-step operand bundles for the fused FlowStep Pallas path
+    (``ops.pallas.flow_step``): prepped weights + prepadded conditioning
+    windows, keyed by plan index.  Frozen eval only (needs the ``anic``
+    fold); the caches must come from :func:`precompute_ft` (s2d level 1).
+
+    Built once per image and shared by encode and decode — the padded
+    cache windows replace (not duplicate) the plain cache reads, and the
+    weight prep is tiny.  Returns None when any step lacks ``anic``."""
+    from bfsr_tpu.ops.pallas import flow_step as fsk
+
+    s2d_levels = _cache_s2d_levels(plan, ft_cache)
+    ctx = {}
+    for i, (entry, p) in enumerate(zip(plan, params["layers"])):
+        if entry["kind"] != "step_cond":
+            continue
+        if "anic" not in p or ft_cache[i] is None:
+            return None
+        cache = ft_cache[i]
+        if cache["scale_ft"].shape[0] != 1:
+            return None  # kernel path is B=1 (the shard_map predictors)
+        s2d = entry["level"] in s2d_levels
+        P = 4 if s2d else 1
+        h, w = cache["scale_ft"].shape[1], cache["scale_ft"].shape[2]
+        prep = fsk.prep_step(p, entry["c"], phases=P)
+        ctx[i] = {"prep": prep, "cache": fsk.pad_cache(cache, h, w),
+                  "h": h, "w": w, "interpret": interpret}
+    return ctx
+
+
+def _kernel_chain(x, idxs, params, plan, ctx, reverse):
+    """Run a consecutive run of cond steps through the fused kernel.
+    x enters/leaves in the plain state layout of its domain."""
+    from bfsr_tpu.ops.pallas import flow_step as fsk
+
+    first = ctx[idxs[0]]
+    h, w = first["h"], first["w"]
+    zp = fsk.pad_state(x)
+    for i in idxs:
+        e = ctx[i]
+        zp = fsk.step_apply(zp, e["cache"], e["prep"], h, w, reverse=reverse,
+                            interpret=e["interpret"])
+    return fsk.unpad_state(zp, h, w)
+
+
 def _cache_s2d_levels(plan, ft_cache):
     """Levels whose step caches are in the s2d layout.  Detected
     structurally (shape), never via a pytree leaf — a boolean leaf would
@@ -189,18 +234,37 @@ def _cache_s2d_levels(plan, ft_cache):
     return levels
 
 
-def encode(params, plan, gt, conds, logdet, ft_cache=None):
+def encode(params, plan, gt, conds, logdet, ft_cache=None, kernel_ctx=None):
     """gt: (B, H, W, 3); conds: {level: (B, h, w, C_cond)}.
 
     Returns (epses list [eps0..., z_final], logdet).
     (FlowUpsamplerNet.encode, :217-251)
+
+    kernel_ctx (``prep_kernel_ctx``): route every run of consecutive
+    conditional steps through the fused FlowStep Pallas kernel (frozen
+    B=1 eval; logdet must be None — the kernel drops it).
     """
     s2d_levels = _cache_s2d_levels(plan, ft_cache)
+    if kernel_ctx is not None:
+        assert logdet is None, "kernel path is eval-only (no logdet)"
     x = gt
     in_s2d = False
     epses = []
+    skip_until = -1
     for i, (entry, p) in enumerate(zip(plan, params["layers"])):
+        if i < skip_until:
+            continue
         kind = entry["kind"]
+        if (kernel_ctx is not None and kind == "step_cond"
+                and i in kernel_ctx):
+            j = i
+            while (j < len(plan) and plan[j]["kind"] == "step_cond"
+                   and j in kernel_ctx):
+                j += 1
+            x = _kernel_chain(x, list(range(i, j)), params, plan,
+                              kernel_ctx, reverse=False)
+            skip_until = j
+            continue
         if kind == "squeeze":
             if in_s2d:
                 # s2d state of level l-1 == squeeze2d output of level l,
@@ -238,10 +302,12 @@ def encode(params, plan, gt, conds, logdet, ft_cache=None):
 
 
 def decode(params, plan, conds, logdet, z=None, epses=None, eps_std=None, key=None,
-           ft_cache=None):
+           ft_cache=None, kernel_ctx=None):
     """Inverse pass; consumes epses back-to-front (z_final popped first).
     (FlowUpsamplerNet.decode, :267-303)"""
     s2d_levels = _cache_s2d_levels(plan, ft_cache)
+    if kernel_ctx is not None:
+        assert logdet is None, "kernel path is eval-only (no logdet)"
     if epses is not None:
         epses = list(epses)
         x = epses.pop()
@@ -252,9 +318,22 @@ def decode(params, plan, conds, logdet, z=None, epses=None, eps_std=None, key=No
     in_s2d = last_level in s2d_levels
     if in_s2d:
         x = fs2d.to_s2d(x)
+    skip_down_to = n
     for ri, (entry, p) in enumerate(zip(reversed(plan), reversed(params["layers"]))):
         i = n - 1 - ri
+        if i >= skip_down_to and skip_down_to < n:
+            continue
         kind = entry["kind"]
+        if (kernel_ctx is not None and kind == "step_cond"
+                and i in kernel_ctx):
+            k = i
+            while (k >= 0 and plan[k]["kind"] == "step_cond"
+                   and k in kernel_ctx):
+                k -= 1
+            x = _kernel_chain(x, list(range(i, k, -1)), params, plan,
+                              kernel_ctx, reverse=True)
+            skip_down_to = k + 1
+            continue
         if kind == "squeeze":
             if in_s2d:
                 x = fs2d.from_s2d(x)

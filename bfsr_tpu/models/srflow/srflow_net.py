@@ -97,8 +97,18 @@ class SRFlowNet(Model):
         names = fup.LEVEL_NAMES[self.scale]
         return {lvl: lr_enc[names[lvl]] for lvl in range(1, self.L + 1)}
 
+    def prep_kernel_ctx(self, params, ft_cache, interpret=False):
+        """Fused FlowStep kernel operands (fup.prep_kernel_ctx) for the
+        B=1 frozen-eval predictors; None when the params/caches do not
+        qualify (unfrozen, batched, or missing caches)."""
+        if ft_cache is None:
+            return None
+        return fup.prep_kernel_ctx(params["flow"], self.plan, ft_cache,
+                                   interpret=interpret)
+
     def normal_flow(self, params, gt, lr, key=None, add_gt_noise=True, lr_enc=None,
-                    collect_epses=True, ft_cache=None, want_logdet=True):
+                    collect_epses=True, ft_cache=None, want_logdet=True,
+                    kernel_ctx=None):
         """Encode GT -> (epses, nll, logdet) (SRFlowNet_arch.py:83-116).
 
         ``want_logdet=False`` drops the whole log-det chain (54 per-step
@@ -116,7 +126,8 @@ class SRFlowNet(Model):
             if logdet is not None:
                 logdet = logdet + (-math.log(self.quant) * pixels)
         epses, logdet = fup.encode(params["flow"], self.plan, z, self._conds(lr_enc),
-                                   logdet, ft_cache=ft_cache)
+                                   logdet, ft_cache=ft_cache,
+                                   kernel_ctx=kernel_ctx)
         z_final = epses[-1]
         if logdet is not None:
             objective = logdet + flows.gaussian_logp(z_final)
@@ -129,7 +140,7 @@ class SRFlowNet(Model):
 
     def reverse_flow(self, params, lr, z=None, epses=None, eps_std=None, key=None,
                      add_gt_noise=True, lr_enc=None, ft_cache=None,
-                     want_logdet=True):
+                     want_logdet=True, kernel_ctx=None):
         """Decode z/epses -> SR image (SRFlowNet_arch.py:145-158)."""
         if lr_enc is None:
             lr_enc = self.preprocess(params, lr)
@@ -140,7 +151,7 @@ class SRFlowNet(Model):
             logdet = logdet + math.log(self.quant) * pixels
         sr, logdet = fup.decode(params["flow"], self.plan, self._conds(lr_enc), logdet,
                                 z=z, epses=epses, eps_std=eps_std, key=key,
-                                ft_cache=ft_cache)
+                                ft_cache=ft_cache, kernel_ctx=kernel_ctx)
         return sr, logdet
 
     def precompute_ft(self, params, lr_enc):

@@ -1,0 +1,372 @@
+"""Fused SRFlow FlowStep kernel (the 38 ms flows-stage attack, SURVEY §7.7b).
+
+One ``pallas_call`` per conditional flow step per direction executes the
+ENTIRE step — folded actnorm+invconv matmul, feature-conditional affine,
+and the fAffine coupling tower (conv3x3 -> actnorm/relu -> conv1x1 ->
+actnorm/relu -> conv3x3-zeros -> sigmoid coupling) — over row-tiled VMEM
+windows.  The XLA path (reference FlowStep.py:88-129 semantics, our
+``flows.cond_affine``) runs each of these as separate HLO ops at 11-12%
+MFU: 12/24/96-channel states waste MXU/VPU lanes and every op round-trips
+the state through HBM.  Here the state is read once per step, all
+intermediates live in VMEM, and the tower convs run as 9-tap matmuls with
+the step's conditioning maps (scale_ft / shift_ft / aff1_ft — precomputed
+once per image, see ``flows.cond_affine_cache``) streamed in alongside.
+
+Layouts:
+
+* state z: (H, W, C) f32, B=1, prepadded to (H+4, Wp+16, C) with zero
+  borders (2-row / 8-col halos, cols right-padded to a multiple of 8) —
+  SAME-conv zero padding and Mosaic DMA alignment in one shape,
+* level 1 runs in the standard phase-major s2d domain (C = 4*c) with the
+  tower convs s2d-transformed (``s2d_conv.s2d_weight``); levels 2/3 run in
+  the original domain (P=1),
+* per-step weights are host-prepped once (``prep_step``): actnorm+invconv
+  folded (``flows.fold_actnorm_invconv``) and kron-lifted per phase, the
+  coupling out-conv's 'cross' interleave de-interleaved into the weight's
+  output order ([scales | shifts]), the Conv2dZeros exp(3*logs) gain folded
+  in, and every matmul operand pre-split into bf16 hi/lo for the explicit
+  3-pass f32-accurate product (== XLA Precision.HIGH; single-pass under
+  ``BFSR_PRECISION=default`` serving mode).
+
+SAME-conv semantics at image borders: the tower's hidden state carries
+nonzero actnorm biases even where its input is all-zero, so the kernel
+masks the post-tower hidden map (and the affine-masked state) to zero
+outside the true image — matching the reference's per-conv zero padding
+exactly, including the right-edge columns introduced by the 8-alignment
+pad.  The scale_ft window is padded with ONES so the reverse pass never
+divides by zero in dead columns.
+
+Eval-only (no log-det: the jitted predictors thread want_logdet=False and
+XLA DCE'd the chains anyway — BENCH_NOTES r3) and frozen-params only
+(requires the ``anic`` fold from ``cache_flow_inverses``).  Training and
+NLL paths keep the jnp flows.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bfsr_tpu.ops.flows import AFFINE_EPS
+from bfsr_tpu.ops.pallas.s2d_conv import s2d_weight
+
+VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _rup(x, m):
+    return -(-x // m) * m
+
+
+def _split_hi_lo(w):
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return wh, wl
+
+
+def _kron_eye(w, p):
+    """Per-phase block-diagonal lift of an (n, n) matrix to (p*n, p*n) in
+    phase-major channel order (y[q*n+o] = sum_i w[o,i] x[q*n+i])."""
+    if p == 1:
+        return w
+    n = w.shape[0]
+    out = jnp.zeros((p * n, p * n), w.dtype)
+    for q in range(p):
+        out = out.at[q * n:(q + 1) * n, q * n:(q + 1) * n].set(w)
+    return out
+
+
+def _passes():
+    from bfsr_tpu.ops import nn as fnn
+
+    return 1 if fnn.default_precision() == jax.lax.Precision.DEFAULT else 3
+
+
+def prep_step(p, c, phases=1):
+    """Host/trace-time operand bundle for one conditional step.
+
+    p: step params holding 'anic' (from ``cache_flow_inverses``) and
+    'affine' (fFeatures/fAffine); c: ORIGINAL per-phase channel count
+    (12/24/96).  The fwd matmul is x @ w_fold^T, so the folded matrices are
+    transposed here once.
+    """
+    P = phases
+    cn = c // 2
+    co = c - cn
+    hid = p["affine"]["fAffine"]["conv1"]["w"].shape[-1]
+    aff = p["affine"]["fAffine"]
+    w1 = aff["conv1"]["w"][:, :, :cn, :].astype(jnp.float32)
+    w2 = aff["conv2"]["w"][0, 0].astype(jnp.float32)
+    gain = jnp.exp(aff["out"]["logs"] * 3.0)
+    w3 = (aff["out"]["w"] * gain).astype(jnp.float32)
+    b3 = (aff["out"]["b"] * gain).astype(jnp.float32)
+    if P == 4:
+        w1t = s2d_weight(w1)[0]                      # (9, 4cn, 4*hid)
+        w3t = s2d_weight(w3)[0]                      # (9, 4*hid, 8co)
+        b3t = jnp.tile(b3, P)                        # phase-major (q*2co+k)
+        w2t = _kron_eye(w2, P)
+    else:
+        w1t = w1.reshape(9, cn, hid)
+        w3t = w3.reshape(9, hid, 2 * co)
+        b3t = b3
+        w2t = w2
+    # de-interleave the 'cross' split in the OUT channel order
+    # (thops split_feature: shift = h[0::2], scale = h[1::2]):
+    # new order = [scales (P*co, phase-major) | shifts (P*co)]
+    idx = ([q * 2 * co + 2 * j + 1 for q in range(P) for j in range(co)]
+           + [q * 2 * co + 2 * j for q in range(P) for j in range(co)])
+    idx = jnp.asarray(idx)
+    w3t = w3t[:, :, idx]
+    b3t = b3t[idx]
+
+    an1 = aff["conv1"]["actnorm"]
+    an2 = aff["conv2"]["actnorm"]
+    anic = p["anic"]
+    # einsum 'oi' convention (flows.an_invconv_fused): y = x @ w^T
+    wf = _kron_eye(anic["w_fold"].astype(jnp.float32).T, P)
+    wi = _kron_eye(anic["w_inv_fold"].astype(jnp.float32).T, P)
+
+    def _tile(v):
+        return jnp.tile(v.astype(jnp.float32), P)
+
+    w1h, w1l = _split_hi_lo(w1t)
+    w2h, w2l = _split_hi_lo(w2t)
+    w3h, w3l = _split_hi_lo(w3t)
+    wfh, wfl = _split_hi_lo(wf)
+    wih, wil = _split_hi_lo(wi)
+    consts = jnp.stack([_tile(anic["b_fold"]), _tile(anic["an_bias"])])
+    an_c = jnp.stack([
+        _tile(an1["bias"]), jnp.exp(_tile(an1["logs"])),
+        _tile(an2["bias"]), jnp.exp(_tile(an2["logs"]))])
+    b3c = jnp.pad(b3t[None], ((0, 0), (0, _rup(2 * P * co, 8) - 2 * P * co)))
+    return {"w1h": w1h, "w1l": w1l, "w2h": w2h, "w2l": w2l,
+            "w3h": w3h, "w3l": w3l, "wfh": wfh, "wfl": wfl,
+            "wih": wih, "wil": wil, "consts": consts, "an": an_c, "b3": b3c,
+            "c": c, "cn": cn, "co": co, "P": P, "hidden": hid}
+
+
+def pad_state(z):
+    """(1, H, W, C) -> kernel-layout (H+4, Wp+16, C) with zero borders."""
+    H, W = z.shape[1], z.shape[2]
+    wp = _rup(W, 8)
+    return jnp.pad(z[0], ((2, 2), (8, 8 + wp - W), (0, 0)))
+
+
+def unpad_state(zp, H, W):
+    """Inverse of :func:`pad_state` (crop, restore the batch axis)."""
+    return zp[2:2 + H, 8:8 + W][None]
+
+
+def pad_cache(cache, H, W):
+    """Prepad one step's {scale_ft, shift_ft, aff1_ft} (each (1, H, W, *))
+    into kernel windows: state-halo (2-row) forms for scale/shift, a 1-row
+    form for aff1 (consumed at conv1-output rows).  scale pads with ONES
+    (the reverse pass divides by it in dead columns)."""
+    wp = _rup(W, 8)
+    return {
+        "scale": jnp.pad(cache["scale_ft"][0],
+                         ((2, 2), (8, 8 + wp - W), (0, 0)),
+                         constant_values=1.0),
+        "shift": jnp.pad(cache["shift_ft"][0], ((2, 2), (8, 8 + wp - W), (0, 0))),
+        "aff1": jnp.pad(cache["aff1_ft"][0], ((1, 1), (8, 8 + wp - W), (0, 0))),
+    }
+
+
+def _dot3(v, wh, wl, passes):
+    vh = v.astype(jnp.bfloat16)
+    acc = jnp.dot(vh, wh, preferred_element_type=jnp.float32)
+    if passes == 3:
+        vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = acc + jnp.dot(vh, wl, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(vl, wh, preferred_element_type=jnp.float32)
+    return acc
+
+
+def _mask(rows, cols, r0, c0, H, W):
+    """(rows, cols, 1) f32 mask: 1 where the virtual pixel (r0+r, c0+c)
+    lies inside the true image, 0 outside."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 0) + r0
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 1) + c0
+    ok = (ri >= 0) & (ri < H) & (ci >= 0) & (ci < W)
+    return ok.astype(jnp.float32)
+
+
+def _compact(z3, P, c, lo, n):
+    """Gather the per-phase channel range [lo, lo+n) of a phase-major
+    (rows, cols, P*c) block into a compact (rows, cols, P*n)."""
+    if P == 1:
+        return z3[:, :, lo:lo + n]
+    return jnp.concatenate(
+        [z3[:, :, q * c + lo:q * c + lo + n] for q in range(P)], axis=-1)
+
+
+def _tower(z1e, a1win, shapes, wrefs, passes, m2):
+    """The fAffine coupling tower.
+
+    z1e: (T+4, Wp+4, P*cn) phase-compact z1 (conv1-input halo included,
+    zero outside the image); a1win: the aff1 window ref (T+2, Wp+16, P*hid);
+    m2: (T+2, Wp+2, 1) in-image mask for the hidden map (SAME-conv zero
+    padding of the out conv).  Returns (scale, shift) each (T*Wp, P*co)."""
+    (T, Wp, P, cn, co, hid) = shapes
+    (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r) = wrefs
+    R2 = (T + 2) * (Wp + 2)
+    h = a1win[:, 7:9 + Wp, :].reshape(R2, P * hid)
+    for t in range(9):
+        dy, dx = t // 3, t % 3
+        v = z1e[dy:dy + T + 2, dx:dx + Wp + 2, :].reshape(R2, P * cn)
+        h = h + _dot3(v, w1h[t], w1l[t], passes)
+    h = jnp.maximum((h + anr[0]) * anr[1], 0.0)
+    h = _dot3(h, w2h[:, :], w2l[:, :], passes)
+    h = jnp.maximum((h + anr[2]) * anr[3], 0.0)
+    h3 = h.reshape(T + 2, Wp + 2, P * hid) * m2
+    o = None
+    for t in range(9):
+        dy, dx = t // 3, t % 3
+        v = h3[dy:dy + T, dx:dx + Wp, :].reshape(T * Wp, P * hid)
+        d = _dot3(v, w3h[t], w3l[t], passes)
+        o = d if o is None else o + d
+    o = o + b3r[0, :2 * P * co]
+    scale = jax.nn.sigmoid(o[:, :P * co] + 2.0) + AFFINE_EPS
+    shift = o[:, P * co:]
+    return scale, shift
+
+
+def _fwd_kernel(T, Wp, H, W, shapes, passes, z_ref, sc_ref, sh_ref, a1_ref,
+                wfh, wfl, w1h, w1l, w2h, w2l, w3h, w3l, consts, anr, b3r,
+                out_ref, zwin, scwin, shwin, a1win, sems):
+    (P, c, cn, co, hid) = shapes
+    C = P * c
+    i = pl.program_id(0)
+    cz = pltpu.make_async_copy(z_ref.at[pl.ds(i * T, T + 4)], zwin, sems.at[0])
+    cs = pltpu.make_async_copy(sc_ref.at[pl.ds(i * T, T + 4)], scwin, sems.at[1])
+    ch = pltpu.make_async_copy(sh_ref.at[pl.ds(i * T, T + 4)], shwin, sems.at[2])
+    ca = pltpu.make_async_copy(a1_ref.at[pl.ds(i * T, T + 2)], a1win, sems.at[3])
+    cz.start()
+    cs.start()
+    ch.start()
+    ca.start()
+    W16 = Wp + 16
+    R4 = (T + 4) * W16
+    m4 = _mask(T + 4, W16, i * T - 2, -8, H, W)
+    m2 = _mask(T + 2, Wp + 2, i * T - 1, -1, H, W)
+    cz.wait()
+    zf = _dot3(zwin[:, :, :].reshape(R4, C), wfh[:, :], wfl[:, :], passes)
+    cs.wait()
+    ch.wait()
+    # za = (z@Wf^T + b_fold + shift_ft) * scale_ft, zeroed off-image
+    za = ((zf + consts[0] + shwin[:, :, :].reshape(R4, C))
+          * scwin[:, :, :].reshape(R4, C)).reshape(T + 4, W16, C) * m4
+    z1e = _compact(za[:, 6:10 + Wp, :], P, c, 0, cn)
+    ca.wait()
+    scale, shift = _tower(z1e, a1win, (T, Wp, P, cn, co, hid),
+                          (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r),
+                          passes, m2)
+    z2 = _compact(za[2:T + 2, 8:8 + Wp, :], P, c, cn, co).reshape(
+        T * Wp, P * co)
+    z2 = (z2 + shift) * scale
+    mi = m2[1:T + 1, 1:Wp + 1, :]
+    z23 = z2.reshape(T, Wp, P * co) * mi
+    z13 = z1e[2:T + 2, 2:Wp + 2, :]
+    for q in range(P):
+        out_ref[:, :, q * c:q * c + cn] = z13[:, :, q * cn:(q + 1) * cn]
+        out_ref[:, :, q * c + cn:(q + 1) * c] = z23[:, :, q * co:(q + 1) * co]
+
+
+def _rev_kernel(T, Wp, H, W, shapes, passes, z_ref, sc_ref, sh_ref, a1_ref,
+                wih, wil, w1h, w1l, w2h, w2l, w3h, w3l, consts, anr, b3r,
+                out_ref, zwin, scwin, shwin, a1win, sems):
+    (P, c, cn, co, hid) = shapes
+    C = P * c
+    i = pl.program_id(0)
+    cz = pltpu.make_async_copy(z_ref.at[pl.ds(i * T, T + 4)], zwin, sems.at[0])
+    cs = pltpu.make_async_copy(sc_ref.at[pl.ds(i * T, T + 4)], scwin, sems.at[1])
+    ch = pltpu.make_async_copy(sh_ref.at[pl.ds(i * T, T + 4)], shwin, sems.at[2])
+    ca = pltpu.make_async_copy(a1_ref.at[pl.ds(i * T, T + 2)], a1win, sems.at[3])
+    cz.start()
+    cs.start()
+    ch.start()
+    ca.start()
+    m4 = _mask(T + 4, Wp + 16, i * T - 2, -8, H, W)
+    m2 = _mask(T + 2, Wp + 2, i * T - 1, -1, H, W)
+    cz.wait()
+    ca.wait()
+    zw = zwin[:, :, :] * m4
+    z1e = _compact(zw[:, 6:10 + Wp, :], P, c, 0, cn)
+    scale, shift = _tower(z1e, a1win, (T, Wp, P, cn, co, hid),
+                          (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r),
+                          passes, m2)
+    x2 = _compact(zw[2:T + 2, 8:8 + Wp, :], P, c, cn, co).reshape(
+        T * Wp, P * co)
+    x2 = x2 / scale - shift
+    x23 = x2.reshape(T, Wp, P * co)
+    z13 = z1e[2:T + 2, 2:Wp + 2, :]
+    zfull = jnp.concatenate(
+        [jnp.concatenate([z13[:, :, q * cn:(q + 1) * cn],
+                          x23[:, :, q * co:(q + 1) * co]], axis=-1)
+         for q in range(P)], axis=-1).reshape(T * Wp, C)
+    cs.wait()
+    ch.wait()
+    sc = scwin[2:T + 2, 8:8 + Wp, :].reshape(T * Wp, C)
+    sh = shwin[2:T + 2, 8:8 + Wp, :].reshape(T * Wp, C)
+    t = zfull / sc - sh
+    y = _dot3(t, wih[:, :], wil[:, :], passes) - consts[1]
+    mi = m2[1:T + 1, 1:Wp + 1, :]
+    out_ref[:, :, :] = y.reshape(T, Wp, C) * mi
+
+
+def _pick_tile(H, Wp, C, P, hid, cn, co):
+    """Largest row tile T dividing H that keeps windows + temps in VMEM."""
+    w16 = Wp + 16
+
+    def need(t):
+        win = (t + 4) * w16 * C * 3 + (t + 2) * w16 * P * hid
+        za = (t + 4) * w16 * C + (t + 4) * (Wp + 4) * P * cn
+        tower = (t + 2) * (Wp + 2) * P * hid * 3
+        out = 2 * t * Wp * C + 3 * t * Wp * P * co
+        return int(1.3 * 4 * (win + za + tower + out))
+
+    t = min(H, 128)
+    while t > 1 and (H % t or need(t) > VMEM_BUDGET):
+        t -= 1
+    return t
+
+
+def step_apply(zp, cache_p, prep, H, W, reverse=False, interpret=False):
+    """Run one fused conditional step on a prepadded state.
+
+    zp: (H+4, Wp+16, C) kernel-layout state; cache_p: :func:`pad_cache`
+    output; prep: :func:`prep_step` bundle.  Returns the next state in the
+    same prepadded layout (borders re-zeroed).
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
+    P, c, cn, co, hid = (prep["P"], prep["c"], prep["cn"], prep["co"],
+                         prep["hidden"])
+    C = P * c
+    Wp = zp.shape[1] - 16
+    passes = _passes()
+    T = _pick_tile(H, Wp, C, P, hid, cn, co)
+    grid = (H // T,)
+    kern = _rev_kernel if reverse else _fwd_kernel
+    wf = (prep["wih"], prep["wil"]) if reverse else (prep["wfh"], prep["wfl"])
+    w16 = Wp + 16
+    out = pl.pallas_call(
+        functools.partial(kern, T, Wp, H, W, (P, c, cn, co, hid), passes),
+        out_shape=jax.ShapeDtypeStruct((H, Wp, C), jnp.float32),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=pl.BlockSpec((T, Wp, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((T + 4, w16, C), jnp.float32),
+            pltpu.VMEM((T + 4, w16, C), jnp.float32),
+            pltpu.VMEM((T + 4, w16, C), jnp.float32),
+            pltpu.VMEM((T + 2, w16, P * hid), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(zp, cache_p["scale"], cache_p["shift"], cache_p["aff1"],
+      wf[0], wf[1], prep["w1h"], prep["w1l"], prep["w2h"], prep["w2l"],
+      prep["w3h"], prep["w3l"], prep["consts"], prep["an"], prep["b3"])
+    return jnp.pad(out, ((2, 2), (8, 8), (0, 0)))

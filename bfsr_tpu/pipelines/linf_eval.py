@@ -75,12 +75,14 @@ class LINFPredictor:
     def _tile_rows(self, W, H=None):
         rows = max(8, self.tile_queries // max(W, 1))
         rows = max(8, (rows // 8) * 8)
-        if H is None or H <= rows:
+        if H is None:
             return rows
         # equalize rows across tiles: ceil(H/W-derived-count) padded the
         # last tile by up to T-1 rows (Set5 woman 344x228: T=280 -> Hp=560,
-        # 63% dead queries).  Same tile count, least T covering H.
-        n_tiles = -(-H // rows)
+        # 63% dead queries).  Same tile count, least T covering H — this
+        # includes the single-tile case (H <= rows), where the budget tile
+        # used to over-pad short-wide images ~3x (ADVICE r3).
+        n_tiles = max(1, -(-H // rows))
         return max(8, -(-(-(-H // n_tiles)) // 8) * 8)
 
     def _predict_impl(self, linf_params, prior_params, inp, coord, cell, gt_lr_up,

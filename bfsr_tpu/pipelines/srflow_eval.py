@@ -21,10 +21,16 @@ class SRFlowLPPredictor:
     one per image — first compiles take minutes on this platform.  The
     reference protocol's %2 pad (test.py:100-106) is the lower bound."""
 
-    def __init__(self, model, prior_model, pad_multiple=2):
+    def __init__(self, model, prior_model, pad_multiple=2,
+                 use_step_kernel=None):
         self.model = model
         self.prior = prior_model
         self.pad_multiple = max(2, int(pad_multiple or 2))
+        if use_step_kernel is None:
+            # the fused FlowStep Pallas path needs real Mosaic (interpret
+            # mode is a CPU-testing device) and frozen anic folds
+            use_step_kernel = jax.default_backend() == "tpu"
+        self.use_step_kernel = use_step_kernel
         self._fn = jax.jit(self._impl)
 
     def _impl(self, params, prior_params, lr):
@@ -34,14 +40,17 @@ class SRFlowLPPredictor:
         lr_up = resize_bilinear(lr, (h * s, w * s))
         lr_enc = model.preprocess(params, lr)
         ft_cache = model.precompute_ft(params, lr_enc)
+        kctx = (model.prep_kernel_ctx(params, ft_cache)
+                if self.use_step_kernel else None)
         epses, _, _ = model.normal_flow(params, lr_up, lr, add_gt_noise=False,
                                         lr_enc=lr_enc, ft_cache=ft_cache,
-                                        want_logdet=False)
+                                        want_logdet=False, kernel_ctx=kctx)
         epses = standardize_epses(epses)
         learned = self.prior.apply(prior_params, epses)
         sr, _ = model.reverse_flow(params, lr, epses=learned,
                                    add_gt_noise=False, lr_enc=lr_enc,
-                                   ft_cache=ft_cache, want_logdet=False)
+                                   ft_cache=ft_cache, want_logdet=False,
+                                   kernel_ctx=kctx)
         return sr
 
     def predict(self, lr_img01):

@@ -124,7 +124,10 @@ def sweep_patch(shapes):
         inp = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32))
         gt = jnp.asarray((rng.random((1, Hq, Wq, 27)) - 0.5).astype(np.float32))
         coord = jnp.asarray(make_coord_np((Hq, Wq), flatten=False)[None])
-        cell = jnp.asarray(make_cell((Hq * 3, Wq * 3))[None])
+        # cell is 2/H of the UNPADDED HR target — matching the shipped
+        # warmup_predictor patch branch (ADVICE r3: (Hq*3, Wq*3) compiled a
+        # slightly different scale-conditioning than production)
+        cell = jnp.asarray(make_cell((H, W))[None])
         t0 = time.time()
         try:
             out = predictor.predict(model.params, prior.params, inp, coord,
