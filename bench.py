@@ -533,6 +533,97 @@ def measure_torch_baseline():
     return mps, dt
 
 
+def run_train_bench(which, iters=10, rounds=3):
+    """Driver-visible training throughput (r3 verdict #6: the BENCH_NOTES
+    training numbers, reproducible from the benched surface).
+
+    linf: latent-module trainer at the reference shape (batch 16, 48x48
+    LR crops, frozen flagship LINF, latent-L1) — one jitted step.
+    srflow: full-size SRFlowNet NLL trainer (batch 12, GT 160, reference
+    conf); returns BOTH phases: frozen-RRDB (train_RRDB_delay) and
+    unfrozen.  Random data: step time does not depend on values.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import bfsr_tpu.models  # noqa: F401
+    from bfsr_tpu import registry
+    from bfsr_tpu.utils.profiling import device_sync
+
+    rng = np.random.default_rng(0)
+
+    def time_step(step, p0, o0, batch, extra):
+        # compile + first
+        p, o, m = step(p0, o0, batch, *extra)
+        device_sync(m["loss"])
+        best = None
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            pp, oo = p, o
+            mm = m
+            for _ in range(iters):
+                pp, oo, mm = step(pp, oo, batch, *extra)
+            device_sync(mm["loss"])
+            dt = (time.perf_counter() - t0) / iters
+            best = dt if best is None else min(best, dt)
+        return best * 1e3
+
+    if which == "linf":
+        from __graft_entry__ import _flagship
+        from bfsr_tpu.pipelines.linf_train import make_train_step
+        from bfsr_tpu.utils.coords import make_cell, make_coord_np
+
+        B, h, scale = 16, 48, 2
+        H = h * scale
+        model, _ = _flagship()
+        prior = registry.make({"name": "unet", "args": {
+            "in_chans": 3, "depth": 3, "dim": 64, "bilinear": True}})
+        optimizer = optax.adam(1e-4)
+        step0 = make_train_step(model, prior, None, optimizer,
+                                vgg_weight=0.0, latent_weight=1.0)
+        coord = jnp.broadcast_to(
+            jnp.asarray(make_coord_np((H, H), flatten=False))[None],
+            (B, H, H, 2))
+        batch = {
+            "inp": jnp.asarray(rng.random((B, h, h, 3), dtype=np.float32)),
+            "coord": coord,
+            "cell": jnp.broadcast_to(jnp.asarray(make_cell((H, H)))[None],
+                                     (B, 2)),
+            "gt_lr_up": jnp.asarray(
+                rng.random((B, H, H, 3), dtype=np.float32) - 0.5),
+            "gt_pixel": jnp.asarray(
+                rng.random((B, H, H, 3), dtype=np.float32) - 0.5),
+        }
+
+        def step(p, o, b):
+            return step0(p, o, model.params, {}, b)
+
+        ms = time_step(lambda p, o, b: step(p, o, b), prior.params,
+                       optimizer.init(prior.params), batch, ())
+        return {"linf_ms_per_step": round(ms, 2),
+                "steps_per_s": round(1e3 / ms, 1)}
+
+    from bfsr_tpu.pipelines.srflow_train import make_srflow_train_step
+
+    model = registry.make({"name": "srflow", "args": dict(_SRFLOW_ARGS)})
+    optimizer = optax.chain(optax.clip_by_global_norm(10.0),
+                            optax.adam(2.5e-4))
+    B, G = 12, 160
+    batch = {"GT": jnp.asarray(rng.random((B, G, G, 3), dtype=np.float32)),
+             "LQ": jnp.asarray(rng.random((B, G // 4, G // 4, 3),
+                                          dtype=np.float32))}
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for name, kw in (("frozen", {"freeze_rrdb": True}),
+                     ("unfrozen", {"rrdb_unfreeze_step": None})):
+        step = make_srflow_train_step(model, optimizer, weight_fl=1.0, **kw)
+        ms = time_step(step, model.params, optimizer.init(model.params),
+                       batch, (key, jnp.asarray(0)))
+        out[f"srflow_{name}_ms_per_step"] = round(ms, 1)
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--measure-baseline", action="store_true")
@@ -551,7 +642,21 @@ def main():
     parser.add_argument("--precision-delta", choices=["linf", "srflow"],
                         help="measure serving-mode (bf16) vs HIGH output "
                              "delta for the given pipeline")
+    parser.add_argument("--train", choices=["linf", "srflow"],
+                        help="training-step throughput line (reference "
+                             "configs: LINF latent b16/48^2, SRFlow b12/GT160)")
     args = parser.parse_args()
+
+    if args.train:
+        res = run_train_bench(args.train)
+        key = ("linf_ms_per_step" if args.train == "linf"
+               else "srflow_frozen_ms_per_step")
+        print(json.dumps(dict({
+            "metric": f"{args.train}_train_ms_per_step",
+            "value": res[key],
+            "unit": "ms/step",
+        }, **res)))
+        return
 
     if args.precision_delta:
         mx, rms, db = run_precision_delta(args.precision_delta)

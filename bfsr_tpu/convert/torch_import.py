@@ -172,6 +172,10 @@ def convert_linf(sd, encoder_name, encoder_args, flow_layers=10, num_layer=3,
     elif encoder_name == "rdn":
         enc = convert_rdn(sd, encoder_args.get("RDNconfig", "B"),
                           encoder_args.get("no_upsampling", True), prefix="encoder.")
+    elif encoder_name == "swinir":
+        sub = {k[len("encoder."):]: v for k, v in sd.items()
+               if k.startswith("encoder.")}
+        enc = convert_swinir(sub, tuple(encoder_args.get("depths", (6,) * 6)))
     else:
         raise NotImplementedError(encoder_name)
     mlp = []

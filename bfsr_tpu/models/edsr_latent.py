@@ -54,7 +54,7 @@ class EDSRLatent(Model):
         self.res_scale = res_scale
         self.params = init_edsr_latent(jax.random.PRNGKey(0), in_chans, n_resblocks, dim)
 
-    def apply(self, params, z, lr, training=False):
+    def apply(self, params, z, lr, training=False, key=None):
         out = edsr_latent_apply(params, z, lr, self.res_scale)
         return (out, {}) if training else out
 

@@ -198,7 +198,7 @@ def prep_kernel_ctx(params, plan, ft_cache, interpret=False):
         P = 4 if s2d else 1
         h, w = cache["scale_ft"].shape[1], cache["scale_ft"].shape[2]
         prep = fsk.prep_step(p, entry["c"], phases=P)
-        ctx[i] = {"prep": prep, "cache": fsk.pad_cache(cache, h, w),
+        ctx[i] = {"prep": prep, "cond": fsk.pack_cache(cache, h, w),
                   "h": h, "w": w, "interpret": interpret}
     return ctx
 
@@ -210,12 +210,13 @@ def _kernel_chain(x, idxs, params, plan, ctx, reverse):
 
     first = ctx[idxs[0]]
     h, w = first["h"], first["w"]
+    C = x.shape[-1]
     zp = fsk.pad_state(x)
     for i in idxs:
         e = ctx[i]
-        zp = fsk.step_apply(zp, e["cache"], e["prep"], h, w, reverse=reverse,
+        zp = fsk.step_apply(zp, e["cond"], e["prep"], h, w, reverse=reverse,
                             interpret=e["interpret"])
-    return fsk.unpad_state(zp, h, w)
+    return fsk.unpad_state(zp, h, w, C)
 
 
 def _cache_s2d_levels(plan, ft_cache):

@@ -11,7 +11,11 @@ Faithful quirks:
   (swin_transformer.py:327-375),
 * the *layer-level* shifted-window mask is applied to every block in the
   layer, including unshifted ones (BasicLayer.forward:480-484 passes
-  attn_mask unconditionally) — replicated for checkpoint parity.
+  attn_mask unconditionally) — replicated for checkpoint parity,
+* training mode applies stochastic depth with the reference's decay rule
+  (timm DropPath per residual, rates linspace(0, drop_path_rate=0.1,
+  sum(depths)) — swin_transformer.py:316,374-377,541): per-sample
+  bernoulli keep mask scaled by 1/keep, threaded through a PRNG key.
 """
 
 import numpy as np
@@ -55,9 +59,23 @@ def _layer_mask(H, W, ws, shift):
     return jnp.asarray(np.where(diff != 0, -100.0, 0.0).astype(np.float32))
 
 
-def _latent_block(x, p, num_heads, ws, shift, rel_index, attn_mask):
+def drop_path(x, rate, key):
+    """timm DropPath (stochastic depth): per-SAMPLE bernoulli keep mask on
+    the residual branch, scaled by 1/keep (timm layers/drop.py, referenced
+    from swin_transformer.py:13,316).  Identity when rate==0 or key is
+    None (eval)."""
+    if key is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
+def _latent_block(x, p, num_heads, ws, shift, rel_index, attn_mask,
+                  dp_rate=0.0, key=None):
     """Pad-to-window, (shift), window attention with the layer mask, crop
-    (swin_transformer.py:322-378)."""
+    (swin_transformer.py:322-378).  dp_rate/key: stochastic depth on both
+    residuals (:374-377)."""
     B, H, W, C = x.shape
     shortcut = x
     x = layer_norm(x, p["norm1"])
@@ -73,12 +91,15 @@ def _latent_block(x, p, num_heads, ws, shift, rel_index, attn_mask):
     if shift > 0:
         x = jnp.roll(x, (shift, shift), axis=(1, 2))
     x = x[:, :H, :W]
-    x = shortcut + x
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    x = shortcut + drop_path(x, dp_rate, k1)
     h = layer_norm(x, p["norm2"])
     h = fnn.linear(h, p["mlp_fc1"])
     h = jax.nn.gelu(h, approximate=False)
     h = fnn.linear(h, p["mlp_fc2"])
-    return x + h
+    return x + drop_path(h, dp_rate, k2)
 
 
 def init_swin_latent(key, in_chans, embed_dim=96, window_size=7, mlp_ratio=4.0):
@@ -106,9 +127,15 @@ def init_swin_latent(key, in_chans, embed_dim=96, window_size=7, mlp_ratio=4.0):
     return p
 
 
-def swin_latent_apply(params, z, lr, window_size=7):
-    """z: (B, H, W, in_chans); lr: (B, h, w, 3) -> (B, H, W, in_chans)."""
+def swin_latent_apply(params, z, lr, window_size=7, key=None,
+                      drop_path_rate=0.1):
+    """z: (B, H, W, in_chans); lr: (B, h, w, 3) -> (B, H, W, in_chans).
+
+    key: training-mode PRNG for stochastic depth (None = eval/identity);
+    per-block rates follow the reference decay rule
+    linspace(0, drop_path_rate, sum(depths)) (swin_transformer.py:541)."""
     ws = window_size
+    dpr = np.linspace(0.0, drop_path_rate, sum(DEPTHS))
     x = dense_block5c(z, params["input_proj"])
     lr_embed = fnn.leaky_relu(fnn.conv2d(lr, params["lr_proj_conv"], stride=3, padding=1))
     lr_embed = dense_block5c(lr_embed, params["lr_proj_dense"])
@@ -120,10 +147,14 @@ def swin_latent_apply(params, z, lr, window_size=7):
     rel_index = jnp.asarray(relative_position_index(ws))
     shift = ws // 2
     mask = _layer_mask(H, W, ws, shift)
+    gi = 0
     for li, layer in enumerate(params["layers"]):
         for bi, blk in enumerate(layer["blocks"]):
             b_shift = 0 if bi % 2 == 0 else shift
-            x = _latent_block(x, blk, NUM_HEADS[li], ws, b_shift, rel_index, mask)
+            bkey = (jax.random.fold_in(key, gi) if key is not None else None)
+            x = _latent_block(x, blk, NUM_HEADS[li], ws, b_shift, rel_index,
+                              mask, dp_rate=float(dpr[gi]), key=bkey)
+            gi += 1
     x = layer_norm(x, params["norm"])
     x = fnn.leaky_relu(fnn.conv2d(x, params["head"][0]))
     x = fnn.leaky_relu(fnn.conv2d(x, params["head"][1]))
@@ -141,8 +172,12 @@ class SwinLatent(Model):
         self.params = init_swin_latent(jax.random.PRNGKey(0), in_chans,
                                        window_size=window_size)
 
-    def apply(self, params, z, lr, training=False):
-        out = swin_latent_apply(params, z, lr, self.window_size)
+    def apply(self, params, z, lr, training=False, key=None):
+        """training=True with a key applies stochastic depth (reference
+        drop_path_rate=0.1); without a key it degrades to the
+        deterministic path (matching eval semantics)."""
+        out = swin_latent_apply(params, z, lr, self.window_size,
+                                key=key if training else None)
         return (out, {}) if training else out
 
     def __call__(self, z, lr):

@@ -329,7 +329,7 @@ class UNet(Model):
         self.dim = dim
         self.params = init_unet(jax.random.PRNGKey(0), in_chans, depth, dim, bilinear)
 
-    def apply(self, params, z, lr, training=False):
+    def apply(self, params, z, lr, training=False, key=None):
         return unet_apply(params, z, lr, self.depth, training)
 
     def __call__(self, z, lr):

@@ -12,11 +12,16 @@ intermediates live in VMEM, and the tower convs run as 9-tap matmuls with
 the step's conditioning maps (scale_ft / shift_ft / aff1_ft — precomputed
 once per image, see ``flows.cond_affine_cache``) streamed in alongside.
 
-Layouts:
+Layouts (Mosaic DMA constraint: HBM window slices must be 128-aligned in
+the lane dim and 8-aligned in the sublane dim — hit on hardware with the
+naive C=48 layout, so everything is 128-lane padded):
 
-* state z: (H, W, C) f32, B=1, prepadded to (H+4, Wp+16, C) with zero
-  borders (2-row / 8-col halos, cols right-padded to a multiple of 8) —
-  SAME-conv zero padding and Mosaic DMA alignment in one shape,
+* state z: (H+4, Wp+16, Cp) f32, B=1: 2-row / 8-col zero halos (SAME-conv
+  zero padding and sublane alignment in one shape), channels padded to a
+  multiple of 128 (kept zero),
+* per-step conditioning: ONE packed array (H+4, Wp+16, Sp) with lanes
+  [scale_ft(C) | shift_ft(C) | aff1_ft(P*hid)] zero-padded to 128 — a
+  single window DMA per tile per step instead of three unaligned ones,
 * level 1 runs in the standard phase-major s2d domain (C = 4*c) with the
   tower convs s2d-transformed (``s2d_conv.s2d_weight``); levels 2/3 run in
   the original domain (P=1),
@@ -30,11 +35,11 @@ Layouts:
 
 SAME-conv semantics at image borders: the tower's hidden state carries
 nonzero actnorm biases even where its input is all-zero, so the kernel
-masks the post-tower hidden map (and the affine-masked state) to zero
-outside the true image — matching the reference's per-conv zero padding
-exactly, including the right-edge columns introduced by the 8-alignment
-pad.  The scale_ft window is padded with ONES so the reverse pass never
-divides by zero in dead columns.
+masks the affine state and the post-tower hidden map to zero outside the
+true image — matching the reference's per-conv zero padding exactly,
+including the right-edge columns introduced by the alignment pads.  The
+reverse pass adds (1 - mask) to the streamed scale before dividing so the
+dead columns never divide by zero.
 
 Eval-only (no log-det: the jitted predictors thread want_logdet=False and
 XLA DCE'd the chains anyway — BENCH_NOTES r3) and frozen-params only
@@ -52,7 +57,12 @@ from jax.experimental.pallas import tpu as pltpu
 from bfsr_tpu.ops.flows import AFFINE_EPS
 from bfsr_tpu.ops.pallas.s2d_conv import s2d_weight
 
-VMEM_BUDGET = 13 * 1024 * 1024
+# Mosaic's default scoped-vmem limit is 16M, but v5e has 128M VMEM/core:
+# the kernel raises its own limit via CompilerParams and budgets well under
+# it.  Measured accounting overhead vs the estimator below is ~1.6x
+# (double-buffered out blocks + matmul operand copies).
+VMEM_BUDGET = 36 * 1024 * 1024
+VMEM_LIMIT = 96 * 1024 * 1024
 
 
 def _rup(x, m):
@@ -89,7 +99,8 @@ def prep_step(p, c, phases=1):
     p: step params holding 'anic' (from ``cache_flow_inverses``) and
     'affine' (fFeatures/fAffine); c: ORIGINAL per-phase channel count
     (12/24/96).  The fwd matmul is x @ w_fold^T, so the folded matrices are
-    transposed here once.
+    transposed here once; their input rows are zero-padded to the 128-lane
+    state layout.
     """
     P = phases
     cn = c // 2
@@ -123,9 +134,14 @@ def prep_step(p, c, phases=1):
     an1 = aff["conv1"]["actnorm"]
     an2 = aff["conv2"]["actnorm"]
     anic = p["anic"]
-    # einsum 'oi' convention (flows.an_invconv_fused): y = x @ w^T
-    wf = _kron_eye(anic["w_fold"].astype(jnp.float32).T, P)
-    wi = _kron_eye(anic["w_inv_fold"].astype(jnp.float32).T, P)
+    C = P * c
+    cp = _rup(C, 128)
+    # einsum 'oi' convention (flows.an_invconv_fused): y = x @ w^T;
+    # rows padded to the 128-lane state (pad channels contribute zero)
+    wf = jnp.pad(_kron_eye(anic["w_fold"].astype(jnp.float32).T, P),
+                 ((0, cp - C), (0, 0)))
+    wi = jnp.pad(_kron_eye(anic["w_inv_fold"].astype(jnp.float32).T, P),
+                 ((0, cp - C), (0, 0)))
 
     def _tile(v):
         return jnp.tile(v.astype(jnp.float32), P)
@@ -147,30 +163,29 @@ def prep_step(p, c, phases=1):
 
 
 def pad_state(z):
-    """(1, H, W, C) -> kernel-layout (H+4, Wp+16, C) with zero borders."""
-    H, W = z.shape[1], z.shape[2]
+    """(1, H, W, C) -> kernel layout (H+4, Wp+16, Cp): zero borders, cols
+    to a multiple of 8, channels to a multiple of 128."""
+    H, W, C = z.shape[1], z.shape[2], z.shape[3]
     wp = _rup(W, 8)
-    return jnp.pad(z[0], ((2, 2), (8, 8 + wp - W), (0, 0)))
+    return jnp.pad(z[0], ((2, 2), (8, 8 + wp - W), (0, _rup(C, 128) - C)))
 
 
-def unpad_state(zp, H, W):
+def unpad_state(zp, H, W, C):
     """Inverse of :func:`pad_state` (crop, restore the batch axis)."""
-    return zp[2:2 + H, 8:8 + W][None]
+    return zp[2:2 + H, 8:8 + W, :C][None]
 
 
-def pad_cache(cache, H, W):
-    """Prepad one step's {scale_ft, shift_ft, aff1_ft} (each (1, H, W, *))
-    into kernel windows: state-halo (2-row) forms for scale/shift, a 1-row
-    form for aff1 (consumed at conv1-output rows).  scale pads with ONES
-    (the reverse pass divides by it in dead columns)."""
+def pack_cache(cache, H, W):
+    """Pack one step's {scale_ft, shift_ft, aff1_ft} (each (1, H, W, *))
+    into the kernel's single conditioning array (H+4, Wp+16, Sp) with
+    lanes [scale(C) | shift(C) | aff1(P*hid)] zero-padded to 128: one
+    aligned window DMA per tile per step."""
     wp = _rup(W, 8)
-    return {
-        "scale": jnp.pad(cache["scale_ft"][0],
-                         ((2, 2), (8, 8 + wp - W), (0, 0)),
-                         constant_values=1.0),
-        "shift": jnp.pad(cache["shift_ft"][0], ((2, 2), (8, 8 + wp - W), (0, 0))),
-        "aff1": jnp.pad(cache["aff1_ft"][0], ((1, 1), (8, 8 + wp - W), (0, 0))),
-    }
+    packed = jnp.concatenate([cache["scale_ft"][0], cache["shift_ft"][0],
+                              cache["aff1_ft"][0]], axis=-1)
+    sp = _rup(packed.shape[-1], 128)
+    return jnp.pad(packed, ((2, 2), (8, 8 + wp - W),
+                            (0, sp - packed.shape[-1])))
 
 
 def _dot3(v, wh, wl, passes):
@@ -194,24 +209,24 @@ def _mask(rows, cols, r0, c0, H, W):
 
 def _compact(z3, P, c, lo, n):
     """Gather the per-phase channel range [lo, lo+n) of a phase-major
-    (rows, cols, P*c) block into a compact (rows, cols, P*n)."""
+    (rows, cols, P*c [+pad]) block into a compact (rows, cols, P*n)."""
     if P == 1:
         return z3[:, :, lo:lo + n]
     return jnp.concatenate(
         [z3[:, :, q * c + lo:q * c + lo + n] for q in range(P)], axis=-1)
 
 
-def _tower(z1e, a1win, shapes, wrefs, passes, m2):
+def _tower(z1e, a1, shapes, wrefs, passes, m2):
     """The fAffine coupling tower.
 
     z1e: (T+4, Wp+4, P*cn) phase-compact z1 (conv1-input halo included,
-    zero outside the image); a1win: the aff1 window ref (T+2, Wp+16, P*hid);
-    m2: (T+2, Wp+2, 1) in-image mask for the hidden map (SAME-conv zero
+    zero outside the image); a1: (T+2, Wp+2, P*hid) aff1 slice; m2:
+    (T+2, Wp+2, 1) in-image mask for the hidden map (SAME-conv zero
     padding of the out conv).  Returns (scale, shift) each (T*Wp, P*co)."""
     (T, Wp, P, cn, co, hid) = shapes
     (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r) = wrefs
     R2 = (T + 2) * (Wp + 2)
-    h = a1win[:, 7:9 + Wp, :].reshape(R2, P * hid)
+    h = a1.reshape(R2, P * hid)
     for t in range(9):
         dy, dx = t // 3, t % 3
         v = z1e[dy:dy + T + 2, dx:dx + Wp + 2, :].reshape(R2, P * cn)
@@ -232,99 +247,105 @@ def _tower(z1e, a1win, shapes, wrefs, passes, m2):
     return scale, shift
 
 
-def _fwd_kernel(T, Wp, H, W, shapes, passes, z_ref, sc_ref, sh_ref, a1_ref,
+def _fwd_kernel(T, Wp, H, W, shapes, passes, z_ref, cond_ref,
                 wfh, wfl, w1h, w1l, w2h, w2l, w3h, w3l, consts, anr, b3r,
-                out_ref, zwin, scwin, shwin, a1win, sems):
+                out_ref, zwin, cwin, sems):
     (P, c, cn, co, hid) = shapes
     C = P * c
+    Cp = _rup(C, 128)
     i = pl.program_id(0)
     cz = pltpu.make_async_copy(z_ref.at[pl.ds(i * T, T + 4)], zwin, sems.at[0])
-    cs = pltpu.make_async_copy(sc_ref.at[pl.ds(i * T, T + 4)], scwin, sems.at[1])
-    ch = pltpu.make_async_copy(sh_ref.at[pl.ds(i * T, T + 4)], shwin, sems.at[2])
-    ca = pltpu.make_async_copy(a1_ref.at[pl.ds(i * T, T + 2)], a1win, sems.at[3])
+    cc = pltpu.make_async_copy(cond_ref.at[pl.ds(i * T, T + 4)], cwin,
+                               sems.at[1])
     cz.start()
-    cs.start()
-    ch.start()
-    ca.start()
+    cc.start()
     W16 = Wp + 16
     R4 = (T + 4) * W16
     m4 = _mask(T + 4, W16, i * T - 2, -8, H, W)
     m2 = _mask(T + 2, Wp + 2, i * T - 1, -1, H, W)
     cz.wait()
-    zf = _dot3(zwin[:, :, :].reshape(R4, C), wfh[:, :], wfl[:, :], passes)
-    cs.wait()
-    ch.wait()
+    zf = _dot3(zwin[:, :, :].reshape(R4, Cp), wfh[:, :], wfl[:, :], passes)
+    cc.wait()
+    cw = cwin[:, :, :]
+    scale = cw[:, :, :C].reshape(R4, C)
+    shift = cw[:, :, C:2 * C].reshape(R4, C)
     # za = (z@Wf^T + b_fold + shift_ft) * scale_ft, zeroed off-image
-    za = ((zf + consts[0] + shwin[:, :, :].reshape(R4, C))
-          * scwin[:, :, :].reshape(R4, C)).reshape(T + 4, W16, C) * m4
+    za = ((zf + consts[0] + shift) * scale).reshape(T + 4, W16, C) * m4
     z1e = _compact(za[:, 6:10 + Wp, :], P, c, 0, cn)
-    ca.wait()
-    scale, shift = _tower(z1e, a1win, (T, Wp, P, cn, co, hid),
-                          (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r),
-                          passes, m2)
+    a1 = cw[1:T + 3, 7:9 + Wp, 2 * C:2 * C + P * hid]
+    scale_a, shift_a = _tower(z1e, a1, (T, Wp, P, cn, co, hid),
+                              (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r),
+                              passes, m2)
     z2 = _compact(za[2:T + 2, 8:8 + Wp, :], P, c, cn, co).reshape(
         T * Wp, P * co)
-    z2 = (z2 + shift) * scale
+    z2 = (z2 + shift_a) * scale_a
     mi = m2[1:T + 1, 1:Wp + 1, :]
     z23 = z2.reshape(T, Wp, P * co) * mi
     z13 = z1e[2:T + 2, 2:Wp + 2, :]
     for q in range(P):
         out_ref[:, :, q * c:q * c + cn] = z13[:, :, q * cn:(q + 1) * cn]
         out_ref[:, :, q * c + cn:(q + 1) * c] = z23[:, :, q * co:(q + 1) * co]
+    if Cp > C:
+        out_ref[:, :, C:] = jnp.zeros((T, Wp, Cp - C), jnp.float32)
 
 
-def _rev_kernel(T, Wp, H, W, shapes, passes, z_ref, sc_ref, sh_ref, a1_ref,
+def _rev_kernel(T, Wp, H, W, shapes, passes, z_ref, cond_ref,
                 wih, wil, w1h, w1l, w2h, w2l, w3h, w3l, consts, anr, b3r,
-                out_ref, zwin, scwin, shwin, a1win, sems):
+                out_ref, zwin, cwin, sems):
     (P, c, cn, co, hid) = shapes
     C = P * c
+    Cp = _rup(C, 128)
     i = pl.program_id(0)
     cz = pltpu.make_async_copy(z_ref.at[pl.ds(i * T, T + 4)], zwin, sems.at[0])
-    cs = pltpu.make_async_copy(sc_ref.at[pl.ds(i * T, T + 4)], scwin, sems.at[1])
-    ch = pltpu.make_async_copy(sh_ref.at[pl.ds(i * T, T + 4)], shwin, sems.at[2])
-    ca = pltpu.make_async_copy(a1_ref.at[pl.ds(i * T, T + 2)], a1win, sems.at[3])
+    cc = pltpu.make_async_copy(cond_ref.at[pl.ds(i * T, T + 4)], cwin,
+                               sems.at[1])
     cz.start()
-    cs.start()
-    ch.start()
-    ca.start()
-    m4 = _mask(T + 4, Wp + 16, i * T - 2, -8, H, W)
+    cc.start()
+    W16 = Wp + 16
+    m4 = _mask(T + 4, W16, i * T - 2, -8, H, W)
     m2 = _mask(T + 2, Wp + 2, i * T - 1, -1, H, W)
     cz.wait()
-    ca.wait()
     zw = zwin[:, :, :] * m4
     z1e = _compact(zw[:, 6:10 + Wp, :], P, c, 0, cn)
-    scale, shift = _tower(z1e, a1win, (T, Wp, P, cn, co, hid),
-                          (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r),
-                          passes, m2)
+    cc.wait()
+    cw = cwin[:, :, :]
+    a1 = cw[1:T + 3, 7:9 + Wp, 2 * C:2 * C + P * hid]
+    scale_a, shift_a = _tower(z1e, a1, (T, Wp, P, cn, co, hid),
+                              (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r),
+                              passes, m2)
     x2 = _compact(zw[2:T + 2, 8:8 + Wp, :], P, c, cn, co).reshape(
         T * Wp, P * co)
-    x2 = x2 / scale - shift
+    x2 = x2 / scale_a - shift_a
     x23 = x2.reshape(T, Wp, P * co)
     z13 = z1e[2:T + 2, 2:Wp + 2, :]
     zfull = jnp.concatenate(
         [jnp.concatenate([z13[:, :, q * cn:(q + 1) * cn],
                           x23[:, :, q * co:(q + 1) * co]], axis=-1)
          for q in range(P)], axis=-1).reshape(T * Wp, C)
-    cs.wait()
-    ch.wait()
-    sc = scwin[2:T + 2, 8:8 + Wp, :].reshape(T * Wp, C)
-    sh = shwin[2:T + 2, 8:8 + Wp, :].reshape(T * Wp, C)
-    t = zfull / sc - sh
-    y = _dot3(t, wih[:, :], wil[:, :], passes) - consts[1]
     mi = m2[1:T + 1, 1:Wp + 1, :]
-    out_ref[:, :, :] = y.reshape(T, Wp, C) * mi
+    mr = mi.reshape(T * Wp, 1)
+    sc = cw[2:T + 2, 8:8 + Wp, :C].reshape(T * Wp, C) + (1.0 - mr)
+    sh = cw[2:T + 2, 8:8 + Wp, C:2 * C].reshape(T * Wp, C)
+    t = zfull / sc - sh
+    t = jnp.pad(t, ((0, 0), (0, Cp - C))) if Cp > C else t
+    y = _dot3(t, wih[:, :], wil[:, :], passes) - consts[1]
+    out_ref[:, :, :C] = y.reshape(T, Wp, C) * mi
+    if Cp > C:
+        out_ref[:, :, C:] = jnp.zeros((T, Wp, Cp - C), jnp.float32)
 
 
 def _pick_tile(H, Wp, C, P, hid, cn, co):
     """Largest row tile T dividing H that keeps windows + temps in VMEM."""
     w16 = Wp + 16
+    cp = _rup(C, 128)
+    sp = _rup(2 * C + P * hid, 128)
 
     def need(t):
-        win = (t + 4) * w16 * C * 3 + (t + 2) * w16 * P * hid
+        win = (t + 4) * w16 * (cp + sp)
         za = (t + 4) * w16 * C + (t + 4) * (Wp + 4) * P * cn
         tower = (t + 2) * (Wp + 2) * P * hid * 3
-        out = 2 * t * Wp * C + 3 * t * Wp * P * co
-        return int(1.3 * 4 * (win + za + tower + out))
+        out = 2 * t * Wp * cp + 3 * t * Wp * P * co
+        return int(1.7 * 4 * (win + za + tower + out))
 
     t = min(H, 128)
     while t > 1 and (H % t or need(t) > VMEM_BUDGET):
@@ -332,17 +353,17 @@ def _pick_tile(H, Wp, C, P, hid, cn, co):
     return t
 
 
-def step_apply(zp, cache_p, prep, H, W, reverse=False, interpret=False):
-    """Run one fused conditional step on a prepadded state.
+def step_apply(zp, cond, prep, H, W, reverse=False, interpret=False):
+    """Run one fused conditional step on a kernel-layout state.
 
-    zp: (H+4, Wp+16, C) kernel-layout state; cache_p: :func:`pad_cache`
-    output; prep: :func:`prep_step` bundle.  Returns the next state in the
-    same prepadded layout (borders re-zeroed).
-    """
+    zp: (H+4, Wp+16, Cp) state; cond: :func:`pack_cache` output; prep:
+    :func:`prep_step` bundle.  Returns the next state in the same layout
+    (borders re-zeroed)."""
     interpret = interpret or jax.default_backend() != "tpu"
     P, c, cn, co, hid = (prep["P"], prep["c"], prep["cn"], prep["co"],
                          prep["hidden"])
     C = P * c
+    Cp = _rup(C, 128)
     Wp = zp.shape[1] - 16
     passes = _passes()
     T = _pick_tile(H, Wp, C, P, hid, cn, co)
@@ -350,23 +371,23 @@ def step_apply(zp, cache_p, prep, H, W, reverse=False, interpret=False):
     kern = _rev_kernel if reverse else _fwd_kernel
     wf = (prep["wih"], prep["wil"]) if reverse else (prep["wfh"], prep["wfl"])
     w16 = Wp + 16
+    sp = cond.shape[-1]
     out = pl.pallas_call(
         functools.partial(kern, T, Wp, H, W, (P, c, cn, co, hid), passes),
-        out_shape=jax.ShapeDtypeStruct((H, Wp, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H, Wp, Cp), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
-        out_specs=pl.BlockSpec((T, Wp, C), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((T, Wp, Cp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((T + 4, w16, C), jnp.float32),
-            pltpu.VMEM((T + 4, w16, C), jnp.float32),
-            pltpu.VMEM((T + 4, w16, C), jnp.float32),
-            pltpu.VMEM((T + 2, w16, P * hid), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((T + 4, w16, Cp), jnp.float32),
+            pltpu.VMEM((T + 4, w16, sp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(zp, cache_p["scale"], cache_p["shift"], cache_p["aff1"],
+    )(zp, cond,
       wf[0], wf[1], prep["w1h"], prep["w1l"], prep["w2h"], prep["w2l"],
       prep["w3h"], prep["w3l"], prep["consts"], prep["an"], prep["b3"])
     return jnp.pad(out, ((2, 2), (8, 8), (0, 0)))

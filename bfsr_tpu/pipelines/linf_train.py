@@ -31,7 +31,7 @@ def make_train_step(linf_model, prior_model, vgg_model, optimizer,
     gt_sub = jnp.asarray(dn["gt"]["sub"], jnp.float32)
     gt_div = jnp.asarray(dn["gt"]["div"], jnp.float32)
 
-    def loss_fn(prior_params, linf_params, vgg_params, batch):
+    def loss_fn(prior_params, linf_params, vgg_params, batch, key=None):
         inp = (batch["inp"] - inp_sub) / inp_div
         feat = jax.lax.stop_gradient(linf_model.gen_feat(linf_params, inp))
         coord, cell = batch["coord"], batch["cell"]
@@ -41,8 +41,10 @@ def make_train_step(linf_model, prior_model, vgg_model, optimizer,
                                          batch[gt_key])
         z_lr = jax.lax.stop_gradient(z_lr)
 
+        # key: stochastic-depth RNG for priors that use it (swin_latent's
+        # reference drop_path_rate=0.1 decay rule); BN priors ignore it
         z_learned, bn_stats = prior_model.apply(prior_params, z_lr, inp,
-                                                training=True)
+                                                training=True, key=key)
 
         latent_l = jnp.float32(0.0)
         if latent_weight > 0:
@@ -70,10 +72,11 @@ def make_train_step(linf_model, prior_model, vgg_model, optimizer,
         return loss, (bn_stats, {"vgg_l": vgg_l, "latent_l": latent_l})
 
     @jax.jit
-    def step(prior_params, opt_state, linf_params, vgg_params, batch):
+    def step(prior_params, opt_state, linf_params, vgg_params, batch,
+             key=None):
         (loss, (bn_stats, mets)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(prior_params, linf_params, vgg_params, batch)
+        )(prior_params, linf_params, vgg_params, batch, key)
         updates, opt_state = optimizer.update(grads, opt_state, prior_params)
         prior_params = optax.apply_updates(prior_params, updates)
         prior_params = apply_bn_updates(prior_params, bn_stats)

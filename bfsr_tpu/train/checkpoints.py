@@ -52,36 +52,57 @@ def load_checkpoint(path):
 
 def keep_newest(directory, prefix, n_keep=2):
     """Prune old checkpoints, keeping the newest n (BaseModel keeps 2,
-    SRFlow-LP/code/models/base_model.py:95-110)."""
+    SRFlow-LP/code/models/base_model.py:95-110).  Handles both pickle
+    files and orbax checkpoint directories."""
+    import shutil
+
     files = sorted(
         (f for f in os.listdir(directory) if f.startswith(prefix)),
         key=lambda f: os.path.getmtime(os.path.join(directory, f)),
     )
     for f in files[:-n_keep]:
-        os.remove(os.path.join(directory, f))
+        p = os.path.join(directory, f)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
 
 
-def find_auto_resume(directory, suffix=".ckpt"):
+def find_auto_resume(directory, suffix=(".ckpt", ".orbax")):
     """Newest checkpoint in a directory, or None (auto-resume,
-    SRFlow-LP/code/utils/util.py:152-164)."""
+    SRFlow-LP/code/utils/util.py:152-164).  Matches pickle files and
+    orbax directories alike."""
     if not os.path.isdir(directory):
         return None
-    files = [f for f in os.listdir(directory) if f.endswith(suffix)]
+    suffixes = (suffix,) if isinstance(suffix, str) else tuple(suffix)
+    files = [f for f in os.listdir(directory) if f.endswith(suffixes)]
     if not files:
         return None
     files.sort(key=lambda f: os.path.getmtime(os.path.join(directory, f)))
     return os.path.join(directory, files[-1])
 
 
-def save_orbax(path, tree):  # pragma: no cover - optional dependency
+def load_state(path, template=None):
+    """Dispatch on the checkpoint form: '.orbax' directories restore via
+    orbax (optionally into a structure template — optax states are
+    NamedTuples that orbax flattens to lists otherwise), everything else
+    through the canonical pickle loader."""
+    if path.endswith(".orbax"):
+        return restore_orbax(path, template)
+    return load_checkpoint(path)
+
+
+def save_orbax(path, tree):
+    """Async-array checkpointing for big training runs (opt-in via the
+    trainers' --orbax; the pickle format stays the interchange)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, tree)
+    ckptr.save(os.path.abspath(path), _to_numpy(tree))
 
 
-def restore_orbax(path):  # pragma: no cover - optional dependency
+def restore_orbax(path, template=None):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(path)
+    return _to_jax(ckptr.restore(os.path.abspath(path), item=template))

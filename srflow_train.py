@@ -78,12 +78,36 @@ def _restore_opt_state(saved, optimizer, params, log):
         return fresh
     try:
         if (jax.tree_util.tree_structure(st)
-                != jax.tree_util.tree_structure(fresh)):
-            raise ValueError("optimizer state structure changed")
-        return st
+                == jax.tree_util.tree_structure(fresh)):
+            return st
+        # orbax restores optax NamedTuples as plain lists: reflow the
+        # leaves into the fresh structure when counts and shapes agree
+        flat = jax.tree_util.tree_leaves(st)
+        flat_f, treedef = jax.tree_util.tree_flatten(fresh)
+        if len(flat) == len(flat_f) and all(
+                getattr(a, "shape", None) == getattr(b, "shape", None)
+                for a, b in zip(flat, flat_f)):
+            return jax.tree_util.tree_unflatten(treedef, flat)
+        raise ValueError("optimizer state structure changed")
     except Exception as e:  # noqa: BLE001 - degrade to fresh moments
         log(f"could not restore optimizer state ({e}); reinitializing")
         return fresh
+
+
+def _save_state(save_path, stem, payload, use_orbax, final=False):
+    """Periodic/final checkpoint write: pickle by default; --orbax routes
+    the array-heavy payload through orbax async-array checkpointing (the
+    spec stays out of the orbax tree — strings are not orbax leaves; resume
+    only needs params/opt_state/iter).  The FINAL save always also writes
+    the canonical pickle (interchange format)."""
+    if use_orbax:
+        ckpt.save_orbax(os.path.join(save_path, stem + ".orbax"),
+                        {"params": payload["params"],
+                         "opt_state": payload["opt_state"],
+                         "iter": payload["iter"]})
+        if not final:
+            return
+    ckpt.save_checkpoint(os.path.join(save_path, stem + ".ckpt"), payload)
 
 
 def train_sr(opt, args):
@@ -113,7 +137,7 @@ def train_sr(opt, args):
     if (opt.get("path") or {}).get("resume_state") == "auto":
         newest = ckpt.find_auto_resume(save_path)
         if newest:
-            sv = ckpt.load_checkpoint(newest)
+            sv = ckpt.load_state(newest)
             model.load_params(sv["params"])
             start_iter = int(sv.get("iter", 0))
             log(f"auto-resumed from {newest} at iter {start_iter}")
@@ -143,16 +167,17 @@ def train_sr(opt, args):
                 writer.add_scalars("train", {"loss": float(mets["loss"])}, it)
             if it and it % save_freq == 0:
                 model.params = params
-                ckpt.save_checkpoint(os.path.join(save_path, f"G_{it + 1}.ckpt"),
-                                     {"params": params, "spec": model.args,
-                                      "iter": it + 1,
-                                      "opt_state": opt_state})
+                _save_state(save_path, f"G_{it + 1}",
+                            {"params": params, "spec": model.args,
+                             "iter": it + 1, "opt_state": opt_state},
+                            getattr(args, "orbax", False))
                 ckpt.keep_newest(save_path, "G_", 2)
             it += 1
     model.params = params
-    ckpt.save_checkpoint(os.path.join(save_path, "G_latest.ckpt"),
-                         {"params": params, "spec": model.args, "iter": it,
-                          "opt_state": opt_state})
+    _save_state(save_path, "G_latest",
+                {"params": params, "spec": model.args, "iter": it,
+                 "opt_state": opt_state}, getattr(args, "orbax", False),
+                final=True)
     log("training done")
 
 
@@ -160,6 +185,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("conf")
     parser.add_argument("--niter", type=int, default=None)
+    parser.add_argument("--orbax", action="store_true",
+                        help="periodic saves via orbax async-array "
+                             "checkpointing (final save stays pickle)")
     args = parser.parse_args()
     with open(args.conf) as f:
         opt = yaml.safe_load(f)
@@ -185,7 +213,7 @@ def main():
     if resume_state == "auto":
         newest = ckpt.find_auto_resume(save_path)
         if newest:
-            sv = ckpt.load_checkpoint(newest)
+            sv = ckpt.load_state(newest)
             model.load_params(sv["params"])
             start_iter = int(sv.get("iter", 0))
             log(f"auto-resumed from {newest} at iter {start_iter}")
@@ -248,16 +276,17 @@ def main():
                 writer.add_scalars("train", {k: float(v) for k, v in mets.items()}, it)
             if it and it % save_freq == 0:
                 model.params = params
-                ckpt.save_checkpoint(os.path.join(save_path, f"G_{it + 1}.ckpt"),
-                                     {"params": params, "spec": model.args,
-                                      "iter": it + 1,
-                                      "opt_state": opt_state})
+                _save_state(save_path, f"G_{it + 1}",
+                            {"params": params, "spec": model.args,
+                             "iter": it + 1, "opt_state": opt_state},
+                            getattr(args, "orbax", False))
                 ckpt.keep_newest(save_path, "G_", 2)
             it += 1
     model.params = params
-    ckpt.save_checkpoint(os.path.join(save_path, "G_latest.ckpt"),
-                         {"params": params, "spec": model.args, "iter": it,
-                          "opt_state": opt_state})
+    _save_state(save_path, "G_latest",
+                {"params": params, "spec": model.args, "iter": it,
+                 "opt_state": opt_state}, getattr(args, "orbax", False),
+                final=True)
     log("training done")
 
 

@@ -58,13 +58,13 @@ def test_step_parity_p1(c, h, w):
                                  ft_params=cache)
 
     prep = fsk.prep_step(p, c, phases=1)
-    cp = fsk.pad_cache(cache, h, w)
+    cp = fsk.pack_cache(cache, h, w)
     zf = fsk.step_apply(fsk.pad_state(x), cp, prep, h, w, interpret=True)
-    got_f = fsk.unpad_state(zf, h, w)
+    got_f = fsk.unpad_state(zf, h, w, c)
     np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
                                atol=2e-4, rtol=2e-4)
     zr = fsk.step_apply(zf, cp, prep, h, w, reverse=True, interpret=True)
-    got_r = fsk.unpad_state(zr, h, w)
+    got_r = fsk.unpad_state(zr, h, w, c)
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(ref_r),
                                atol=2e-4, rtol=2e-4)
     # round trip back to x
@@ -91,14 +91,14 @@ def test_step_parity_s2d():
 
     prep = fsk.prep_step(p, c, phases=4)
     hs, ws = h // 2, w // 2
-    cp = fsk.pad_cache(cache4, hs, ws)
+    cp = fsk.pack_cache(cache4, hs, ws)
     zf = fsk.step_apply(fsk.pad_state(x4), cp, prep, hs, ws, interpret=True)
-    got_f = fs2d.from_s2d(fsk.unpad_state(zf, hs, ws))
+    got_f = fs2d.from_s2d(fsk.unpad_state(zf, hs, ws, 4 * c))
     np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
                                atol=2e-4, rtol=2e-4)
 
     zr = fsk.step_apply(zf, cp, prep, hs, ws, reverse=True, interpret=True)
-    got_r = fs2d.from_s2d(fsk.unpad_state(zr, hs, ws))
+    got_r = fs2d.from_s2d(fsk.unpad_state(zr, hs, ws, 4 * c))
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(x),
                                atol=5e-4, rtol=5e-4)
 

@@ -8,6 +8,8 @@ torch = pytest.importorskip("torch")
 
 from ref_oracle import linf_modules, reference_available, patch_cuda_noop  # noqa: E402
 from bfsr_tpu.convert import torch_import as cv  # noqa: E402
+from bfsr_tpu import registry  # noqa: E402
+import bfsr_tpu.models  # noqa: F401,E402
 from bfsr_tpu.models.swin_latent import swin_latent_apply  # noqa: E402
 
 pytestmark = pytest.mark.skipif(not reference_available(), reason="no reference mount")
@@ -45,3 +47,96 @@ def test_swin_latent_registry(rng):
     lr = jnp.asarray(rng.random((1, 4, 4, 3)).astype(np.float32))
     out = m(z, lr)
     assert out.shape == (1, 8, 8, 3)
+
+
+def test_drop_path_semantics(rng):
+    """timm DropPath semantics (swin_transformer.py:316,374-377): per-sample
+    all-or-nothing masking scaled by 1/keep, expectation-preserving,
+    identity at rate 0 / eval."""
+    import jax
+
+    from bfsr_tpu.models.swin_latent import drop_path
+
+    x = jnp.asarray(rng.random((64, 5, 5, 3)).astype(np.float32)) + 0.5
+    # identity cases
+    np.testing.assert_array_equal(np.asarray(drop_path(x, 0.0,
+                                                       jax.random.PRNGKey(0))),
+                                  np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(drop_path(x, 0.5, None)),
+                                  np.asarray(x))
+    # per-sample all-or-nothing at exactly x/keep
+    rate = 0.4
+    y = np.asarray(drop_path(x, rate, jax.random.PRNGKey(1)))
+    xs = np.asarray(x)
+    for b in range(y.shape[0]):
+        is_zero = np.allclose(y[b], 0.0)
+        is_scaled = np.allclose(y[b], xs[b] / (1 - rate), rtol=1e-6)
+        assert is_zero or is_scaled
+    # expectation over keys approaches x
+    acc = np.zeros_like(xs)
+    n = 400
+    for i in range(n):
+        acc += np.asarray(drop_path(x, rate, jax.random.PRNGKey(i)))
+    np.testing.assert_allclose(acc / n, xs, atol=0.15)
+
+
+def test_swin_latent_training_stochastic_depth(rng):
+    """Training mode with a key is stochastic (different keys -> different
+    outputs), eval is deterministic and key-free; per-block rates follow
+    the linspace decay rule (first block rate 0 -> key-independent)."""
+    import jax
+
+    m = registry.make({"name": "swin_latent",
+                       "args": {"in_chans": 3, "window_size": 4}})
+    z = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+    lr = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+    e1 = m.apply(m.params, z, lr)
+    e2 = m.apply(m.params, z, lr)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    t1, _ = m.apply(m.params, z, lr, training=True, key=jax.random.PRNGKey(0))
+    t2, _ = m.apply(m.params, z, lr, training=True, key=jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    # training with no key degrades to the deterministic path
+    t3, _ = m.apply(m.params, z, lr, training=True)
+    np.testing.assert_array_equal(np.asarray(t3), np.asarray(e1))
+
+
+def test_swin_latent_prior_converges(rng):
+    """Small convergence run of the swin_latent prior under the LINF
+    latent trainer WITH stochastic depth active (r3 verdict #5)."""
+    import jax
+    import optax
+
+    from bfsr_tpu.pipelines.linf_train import make_train_step
+    from tests.test_convergence import (_checker, _linf_batch, _smooth_lr,
+                                        small_linf)
+    from bfsr_tpu.utils.coords import make_cell, make_coord_np
+
+    h = w = 8
+    s = 2
+    H, W = h * s, w * s
+    m = small_linf()
+    prior = registry.make({"name": "swin_latent",
+                           "args": {"in_chans": 3, "window_size": 4}})
+    optimizer = optax.adam(2e-3)
+    opt_state = optimizer.init(prior.params)
+    step = make_train_step(m, prior, None, optimizer, vgg_weight=0.0,
+                           latent_weight=1.0)
+
+    coord_np = make_coord_np((H, W), flatten=False)
+    cell_np = make_cell((H, W))
+    pattern = _checker(H, W)
+    batch, _ = _linf_batch(_smooth_lr(rng, 2, h, w), coord_np, cell_np,
+                           pattern)
+    params = prior.params
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(160):
+        key, sub = jax.random.split(key)
+        params, opt_state, mets = step(params, opt_state, m.params, {},
+                                       batch, sub)
+        losses.append(float(mets["loss"]))
+    init_loss = np.mean(losses[:5])
+    final_loss = np.mean(losses[-10:])
+    assert np.isfinite(final_loss)
+    assert final_loss < 0.5 * init_loss, (init_loss, final_loss)

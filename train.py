@@ -145,13 +145,18 @@ def main(config, save_path, patch=False, seed=0):
 
     prior_params = prior_model.params
     it = (epoch_start - 1) * iters_per_epoch
+    # stochastic-depth RNG (swin_latent prior trains with the reference
+    # drop_path_rate=0.1 decay rule; other priors ignore the key)
+    dp_key = jax.random.PRNGKey(config.get("seed", 0))
     for epoch in range(epoch_start, epoch_max + 1):
         t_epoch_start = timer.t()
         vgg_avg, lat_avg = utils.Averager(), utils.Averager()
         for batch in train_loader:
+            dp_key, sub = jax.random.split(dp_key)
             prior_params, opt_state, mets = step(
                 prior_params, opt_state, linf_model.params,
                 vgg_model.params if vgg_model else {}, to_device_batch(batch),
+                sub,
             )
             # ONE host fetch for all metrics: each float() is a separate
             # ~29 ms tunnel round-trip serialized against the step
