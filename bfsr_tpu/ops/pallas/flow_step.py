@@ -219,26 +219,37 @@ def _compact(z3, P, c, lo, n):
 def _tower(z1e, a1, shapes, wrefs, passes, m2):
     """The fAffine coupling tower.
 
-    z1e: (T+4, Wp+4, P*cn) phase-compact z1 (conv1-input halo included,
-    zero outside the image); a1: (T+2, Wp+2, P*hid) aff1 slice; m2:
-    (T+2, Wp+2, 1) in-image mask for the hidden map (SAME-conv zero
-    padding of the out conv).  Returns (scale, shift) each (T*Wp, P*co)."""
+    Geometry note: every reshape merges a (rows, cols, C) block with an
+    8-multiple cols extent — odd-width merges force Mosaic into full
+    cross-sublane shuffles (compile-time blow-up observed on hardware).
+    The hidden map lives on (T+2) rows x (Wp+8) cols covering virtual
+    columns [-2, Wp+6); junk columns are masked before the out conv.
+
+    z1e: (T+4, Wp+16, P*cn) phase-compact z1 on the FULL window width
+    (zero outside the image); a1: (T+2, Wp+8, P*hid) aff1 slice on the
+    hidden extent; m2: (T+2, Wp+8, 1) in-image mask (virtual origin
+    (-1, -2)).  Returns (scale, shift) each (T*Wp, P*co)."""
     (T, Wp, P, cn, co, hid) = shapes
     (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r) = wrefs
-    R2 = (T + 2) * (Wp + 2)
+    WE = Wp + 8
+    R2 = (T + 2) * WE
     h = a1.reshape(R2, P * hid)
     for t in range(9):
         dy, dx = t // 3, t % 3
-        v = z1e[dy:dy + T + 2, dx:dx + Wp + 2, :].reshape(R2, P * cn)
+        # h1 virtual col range [-2, Wp+6); tap input col = virtual+dx-1,
+        # window index = virtual col + 8  ->  slice start 5 + dx
+        v = z1e[dy:dy + T + 2, 5 + dx:5 + dx + WE, :].reshape(R2, P * cn)
         h = h + _dot3(v, w1h[t], w1l[t], passes)
     h = jnp.maximum((h + anr[0]) * anr[1], 0.0)
     h = _dot3(h, w2h[:, :], w2l[:, :], passes)
     h = jnp.maximum((h + anr[2]) * anr[3], 0.0)
-    h3 = h.reshape(T + 2, Wp + 2, P * hid) * m2
+    h3 = h.reshape(T + 2, WE, P * hid) * m2
     o = None
     for t in range(9):
         dy, dx = t // 3, t % 3
-        v = h3[dy:dy + T, dx:dx + Wp, :].reshape(T * Wp, P * hid)
+        # out virtual cols [0, Wp): tap col = virtual+dx-1, h3 index =
+        # virtual col + 2  ->  slice start dx + 1
+        v = h3[dy:dy + T, dx + 1:dx + 1 + Wp, :].reshape(T * Wp, P * hid)
         d = _dot3(v, w3h[t], w3l[t], passes)
         o = d if o is None else o + d
     o = o + b3r[0, :2 * P * co]
@@ -262,7 +273,8 @@ def _fwd_kernel(T, Wp, H, W, shapes, passes, z_ref, cond_ref,
     W16 = Wp + 16
     R4 = (T + 4) * W16
     m4 = _mask(T + 4, W16, i * T - 2, -8, H, W)
-    m2 = _mask(T + 2, Wp + 2, i * T - 1, -1, H, W)
+    m2 = _mask(T + 2, Wp + 8, i * T - 1, -2, H, W)
+    mi = _mask(T, Wp, i * T, 0, H, W)
     cz.wait()
     zf = _dot3(zwin[:, :, :].reshape(R4, Cp), wfh[:, :], wfl[:, :], passes)
     cc.wait()
@@ -271,17 +283,16 @@ def _fwd_kernel(T, Wp, H, W, shapes, passes, z_ref, cond_ref,
     shift = cw[:, :, C:2 * C].reshape(R4, C)
     # za = (z@Wf^T + b_fold + shift_ft) * scale_ft, zeroed off-image
     za = ((zf + consts[0] + shift) * scale).reshape(T + 4, W16, C) * m4
-    z1e = _compact(za[:, 6:10 + Wp, :], P, c, 0, cn)
-    a1 = cw[1:T + 3, 7:9 + Wp, 2 * C:2 * C + P * hid]
+    z1e = _compact(za, P, c, 0, cn)
+    a1 = cw[1:T + 3, 6:14 + Wp, 2 * C:2 * C + P * hid]
     scale_a, shift_a = _tower(z1e, a1, (T, Wp, P, cn, co, hid),
                               (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r),
                               passes, m2)
     z2 = _compact(za[2:T + 2, 8:8 + Wp, :], P, c, cn, co).reshape(
         T * Wp, P * co)
     z2 = (z2 + shift_a) * scale_a
-    mi = m2[1:T + 1, 1:Wp + 1, :]
     z23 = z2.reshape(T, Wp, P * co) * mi
-    z13 = z1e[2:T + 2, 2:Wp + 2, :]
+    z13 = z1e[2:T + 2, 8:8 + Wp, :]
     for q in range(P):
         out_ref[:, :, q * c:q * c + cn] = z13[:, :, q * cn:(q + 1) * cn]
         out_ref[:, :, q * c + cn:(q + 1) * c] = z23[:, :, q * co:(q + 1) * co]
@@ -303,13 +314,14 @@ def _rev_kernel(T, Wp, H, W, shapes, passes, z_ref, cond_ref,
     cc.start()
     W16 = Wp + 16
     m4 = _mask(T + 4, W16, i * T - 2, -8, H, W)
-    m2 = _mask(T + 2, Wp + 2, i * T - 1, -1, H, W)
+    m2 = _mask(T + 2, Wp + 8, i * T - 1, -2, H, W)
+    mi = _mask(T, Wp, i * T, 0, H, W)
     cz.wait()
     zw = zwin[:, :, :] * m4
-    z1e = _compact(zw[:, 6:10 + Wp, :], P, c, 0, cn)
+    z1e = _compact(zw, P, c, 0, cn)
     cc.wait()
     cw = cwin[:, :, :]
-    a1 = cw[1:T + 3, 7:9 + Wp, 2 * C:2 * C + P * hid]
+    a1 = cw[1:T + 3, 6:14 + Wp, 2 * C:2 * C + P * hid]
     scale_a, shift_a = _tower(z1e, a1, (T, Wp, P, cn, co, hid),
                               (w1h, w1l, w2h, w2l, w3h, w3l, anr, b3r),
                               passes, m2)
@@ -317,12 +329,11 @@ def _rev_kernel(T, Wp, H, W, shapes, passes, z_ref, cond_ref,
         T * Wp, P * co)
     x2 = x2 / scale_a - shift_a
     x23 = x2.reshape(T, Wp, P * co)
-    z13 = z1e[2:T + 2, 2:Wp + 2, :]
+    z13 = z1e[2:T + 2, 8:8 + Wp, :]
     zfull = jnp.concatenate(
         [jnp.concatenate([z13[:, :, q * cn:(q + 1) * cn],
                           x23[:, :, q * co:(q + 1) * co]], axis=-1)
          for q in range(P)], axis=-1).reshape(T * Wp, C)
-    mi = m2[1:T + 1, 1:Wp + 1, :]
     mr = mi.reshape(T * Wp, 1)
     sc = cw[2:T + 2, 8:8 + Wp, :C].reshape(T * Wp, C) + (1.0 - mr)
     sh = cw[2:T + 2, 8:8 + Wp, C:2 * C].reshape(T * Wp, C)

@@ -1,0 +1,207 @@
+"""Two-process multi-host dry run (r3 verdict #3: execute, don't
+extrapolate).
+
+Parent mode spawns 2 CPU processes x 4 virtual devices each
+(jax.distributed over a local TCP coordinator = the DCN stand-in), runs
+ONE dp=8-sharded LINF latent train step with per-host GrainLoader shards
+feeding jax.make_array_from_process_local_data, and compares the global
+loss + updated params against a single-process 8-device run on the same
+global batch.  Green run = the multi-host story is executed end-to-end:
+global batch semantics, per-host input pipelines, cross-host grad psum.
+
+    python profiling/multihost_dryrun.py            # parent: spawn + compare
+    python profiling/multihost_dryrun.py --child N  # worker (internal)
+
+DCN assumptions validated here: only the coordinator handshake and the
+psum collectives cross hosts; all shardings keep activations host-local
+(dp over the batch axis), so on a real pod the collective payload per step
+is one grad-sized all-reduce riding ICI within slices and DCN across.
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PORT = 51617
+N_PROC = 2
+LOCAL_DEV = 4
+GLOBAL_B = 8
+
+
+def _build(rng_np):
+    import jax
+    import numpy as np
+    import optax
+
+    import bfsr_tpu.models  # noqa: F401
+    from bfsr_tpu import registry
+    from bfsr_tpu.pipelines.linf_train import make_train_step
+    from bfsr_tpu.utils.coords import make_cell, make_coord_np
+
+    m = registry.make({"name": "linf", "args": {
+        "encoder_spec": {"name": "edsr-baseline",
+                         "args": {"n_resblocks": 2, "n_feats": 8,
+                                  "no_upsampling": True}},
+        "imnet_spec": {"name": "flow", "args": {"name": "flow"}},
+        "flow_layers": 2, "num_layer": 2, "hidden_dim": 16}}).freeze()
+    prior = registry.make({"name": "unet", "args": {"in_chans": 3, "depth": 2,
+                                                    "dim": 16}})
+    optimizer = optax.adam(1e-3)
+    step = make_train_step(m, prior, None, optimizer, vgg_weight=0.0,
+                           latent_weight=1.0)
+    hw, s = 6, 2
+    H = hw * s
+    coord = np.asarray(make_coord_np((H, H), flatten=False))
+    cell = np.asarray(make_cell((H, H)))
+    return m, prior, optimizer, step, (hw, H, coord, cell)
+
+
+def _dataset(n, hw, H, coord, cell):
+    """Deterministic synthetic dataset: item i is fully determined by i."""
+    import numpy as np
+
+    items = []
+    for i in range(n):
+        r = np.random.default_rng(1000 + i)
+        items.append({
+            "inp": r.random((hw, hw, 3)).astype(np.float32),
+            "coord": coord.astype(np.float32),
+            "cell": cell.astype(np.float32),
+            "gt_lr_up": (r.random((H, H, 3)) - 0.5).astype(np.float32),
+            "gt_pixel": (r.random((H, H, 3)) - 0.5).astype(np.float32),
+        })
+    return items
+
+
+def child(pid):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={LOCAL_DEV}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{PORT}", num_processes=N_PROC,
+                               process_id=pid)
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bfsr_tpu.data.grain_loader import GrainLoader
+    from bfsr_tpu.parallel.mesh import make_mesh, replicate
+
+    assert jax.device_count() == N_PROC * LOCAL_DEV
+    assert jax.process_count() == N_PROC
+    m, prior, optimizer, step, (hw, H, coord, cell) = _build(None)
+    items = _dataset(GLOBAL_B, hw, H, coord, cell)
+
+    # per-host input pipeline: GrainLoader shards the GLOBAL index space
+    # by process (grain ShardOptions; shuffle off for determinism here)
+    loader = GrainLoader(items, batch_size=GLOBAL_B // N_PROC,
+                         shuffle=False, shard_index=jax.process_index(),
+                         shard_count=jax.process_count())
+    local = next(iter(loader))
+
+    mesh = make_mesh({"dp": N_PROC * LOCAL_DEV})
+    spec = {"inp": P("dp"), "coord": P("dp"), "cell": P("dp"),
+            "gt_lr_up": P("dp"), "gt_pixel": P("dp")}
+    gbatch = {
+        k: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec[k]), np.asarray(v))
+        for k, v in local.items()
+    }
+    with mesh:
+        p_new, _, mets = step(replicate(prior.params, mesh),
+                              replicate(optimizer.init(prior.params), mesh),
+                              replicate(m.params, mesh), {}, gbatch)
+        loss = float(mets["loss"])
+        # param checksum: fetch a few replicated leaves
+        leaves = jax.tree_util.tree_leaves(p_new)
+        chk = float(sum(float(jax.numpy.sum(l)) for l in leaves[:4]))
+    if jax.process_index() == 0:
+        print(f"MULTIHOST_LOSS {loss:.8f} CHK {chk:.6f}", flush=True)
+    jax.distributed.shutdown()
+
+
+def single():
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={N_PROC * LOCAL_DEV}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bfsr_tpu.data.grain_loader import GrainLoader
+    from bfsr_tpu.parallel.mesh import make_mesh, replicate
+
+    m, prior, optimizer, step, (hw, H, coord, cell) = _build(None)
+    items = _dataset(GLOBAL_B, hw, H, coord, cell)
+    # the same global batch the two host shards assemble: shard h of 2,
+    # concatenated in host order (mesh devices are ordered by process)
+    shards = []
+    for h in range(N_PROC):
+        loader = GrainLoader(items, batch_size=GLOBAL_B // N_PROC,
+                             shuffle=False, shard_index=h,
+                             shard_count=N_PROC)
+        shards.append(next(iter(loader)))
+    batch = {k: np.concatenate([s[k] for s in shards]) for k in shards[0]}
+
+    mesh = make_mesh({"dp": N_PROC * LOCAL_DEV})
+    spec = {"inp": P("dp"), "coord": P("dp"), "cell": P("dp"),
+            "gt_lr_up": P("dp"), "gt_pixel": P("dp")}
+    gbatch = {k: jax.device_put(v, NamedSharding(mesh, spec[k]))
+              for k, v in batch.items()}
+    with mesh:
+        p_new, _, mets = step(replicate(prior.params, mesh),
+                              replicate(optimizer.init(prior.params), mesh),
+                              replicate(m.params, mesh), {}, gbatch)
+        loss = float(mets["loss"])
+        leaves = jax.tree_util.tree_leaves(p_new)
+        chk = float(sum(float(jax.numpy.sum(l)) for l in leaves[:4]))
+    print(f"SINGLE_LOSS {loss:.8f} CHK {chk:.6f}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--single", action="store_true")
+    args = ap.parse_args()
+    if args.child is not None:
+        return child(args.child)
+    if args.single:
+        return single()
+
+    here = os.path.abspath(__file__)
+    procs = [subprocess.Popen([sys.executable, here, "--child", str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(N_PROC)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            print(f"--- child {i} FAILED rc={p.returncode} ---\n{o[-3000:]}")
+            sys.exit(1)
+    mh = next(l for o in outs for l in o.splitlines()
+              if l.startswith("MULTIHOST_LOSS"))
+    ref = subprocess.run([sys.executable, here, "--single"],
+                         capture_output=True, text=True, timeout=600)
+    if ref.returncode != 0:
+        print(f"--- single FAILED ---\n{ref.stdout[-3000:]}{ref.stderr[-2000:]}")
+        sys.exit(1)
+    sg = next(l for l in ref.stdout.splitlines() if l.startswith("SINGLE_LOSS"))
+    mh_loss, mh_chk = float(mh.split()[1]), float(mh.split()[3])
+    sg_loss, sg_chk = float(sg.split()[1]), float(sg.split()[3])
+    dl = abs(mh_loss - sg_loss) / max(abs(sg_loss), 1e-9)
+    dc = abs(mh_chk - sg_chk) / max(abs(sg_chk), 1e-6)
+    print(f"multi-host loss {mh_loss:.8f} vs single {sg_loss:.8f} "
+          f"(rel {dl:.2e}); param-checksum rel {dc:.2e}")
+    ok = dl < 1e-5 and dc < 1e-3
+    print("MULTIHOST DRYRUN", "OK" if ok else "MISMATCH")
+    sys.exit(0 if ok else 2)
+
+
+if __name__ == "__main__":
+    main()
