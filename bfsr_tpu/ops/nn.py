@@ -27,25 +27,61 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 # BFSR_PRECISION=default|high|highest or set_default_precision().
 import os as _os
 
-_PRECISION = {
+_PREC_NAMES = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("BFSR_PRECISION", "high")]
+}
+_MODE = _os.environ.get("BFSR_PRECISION", "high")
+_PRECISION = _PREC_NAMES.get(_MODE, jax.lax.Precision.HIGH)
+
+# BFSR_PRECISION=mixed: a per-STAGE policy (r3 verdict #2) — stages whose
+# bf16 output delta measured numerically benign run DEFAULT (single-pass
+# bf16), the conditioning-critical rest stays HIGH.  Stage scopes are
+# declared at pipeline call sites via ``stage(...)``; attribution tables
+# in profiling/prec_split_linf.py / prec_split.py and BENCH_NOTES.
+MIXED_POLICY = {
+    "encoder": jax.lax.Precision.DEFAULT,
+    "prior": jax.lax.Precision.DEFAULT,
+}
+_STAGE = None
 
 
 def set_default_precision(p):
-    """p: jax.lax.Precision or one of 'default'|'high'|'highest'."""
-    global _PRECISION
+    """p: jax.lax.Precision or 'default'|'high'|'highest'|'mixed'."""
+    global _PRECISION, _MODE
     if isinstance(p, str):
-        p = {"default": jax.lax.Precision.DEFAULT,
-             "high": jax.lax.Precision.HIGH,
-             "highest": jax.lax.Precision.HIGHEST}[p]
-    _PRECISION = p
+        _MODE = p
+        _PRECISION = _PREC_NAMES.get(p, jax.lax.Precision.HIGH)
+    else:
+        _MODE = {jax.lax.Precision.DEFAULT: "default",
+                 jax.lax.Precision.HIGH: "high",
+                 jax.lax.Precision.HIGHEST: "highest"}[p]
+        _PRECISION = p
 
 
 def default_precision():
+    if _MODE == "mixed":
+        return MIXED_POLICY.get(_STAGE, jax.lax.Precision.HIGH)
     return _PRECISION
+
+
+class stage:
+    """Trace-time stage scope for the mixed precision policy (stages trace
+    sequentially under jit, so a with-block pins every matmul/conv traced
+    inside it)."""
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        global _STAGE
+        self.saved = _STAGE
+        _STAGE = self.name
+
+    def __exit__(self, *a):
+        global _STAGE
+        _STAGE = self.saved
 
 
 def conv2d(x, p, stride=1, padding="SAME", dilation=1, precision=None):

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bfsr_tpu.ops import nn as fnn
 from bfsr_tpu.ops.interp import resize_bilinear
 from bfsr_tpu.utils import metrics as M
 from bfsr_tpu.utils.coords import make_coord_np
@@ -99,7 +100,8 @@ class LINFPredictor:
         T = self._tile_rows(W, H)
         n_tiles = -(-H // T)
         Hp = n_tiles * T
-        feat = model.gen_feat(linf_params, inp)
+        with fnn.stage("encoder"):
+            feat = model.gen_feat(linf_params, inp)
 
         coord_y = coord[:, :, 0, 0]  # (B, H)
         coord_x = coord[:, 0, :, 1]  # (B, W)
@@ -129,7 +131,8 @@ class LINFPredictor:
 
             _, (info_t, z_t) = jax.lax.scan(enc_body, None, (cy_t, gt_t))
             z_map = z_t.transpose(1, 0, 2, 3, 4).reshape(B, Hp, W, d)[:, :H]
-            z_learned = self.prior.apply(prior_params, z_map, inp)
+            with fnn.stage("prior"):
+                z_learned = self.prior.apply(prior_params, z_map, inp)
             if z_learned.shape[1:3] != z_map.shape[1:3]:
                 z_learned = resize_bilinear(z_learned, z_map.shape[1:3])
             zl_p = jnp.pad(z_learned, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
@@ -185,7 +188,8 @@ class LINFPredictor:
                 and z_map.shape[1] % 2 == 0 and z_map.shape[2] % 2 == 0):
             return unet_apply_fused(prior_params, z_map, inp,
                                     depth=self.prior.depth)
-        return self.prior.apply(prior_params, z_map, inp)
+        with fnn.stage("prior"):
+            return self.prior.apply(prior_params, z_map, inp)
 
     def _predict_pallas(self, linf_params, prior_params, inp, coord, cell,
                         gt_lr_up, temperature, key, use_prior, sample, feat,
@@ -223,10 +227,11 @@ class LINFPredictor:
         coord_x = jnp.pad(coord[0, 0, :, 1], (0, Wp - W), mode="edge")
         n = Hp8 * Wp
 
-        coef = fnn.conv2d(feat, linf_params["coef"])
-        freq = fnn.conv2d(feat, linf_params["freq"])
-        info_cm = fused_affine_info_cm(linf_params, coef, freq, coord_y,
-                                       coord_x, cell, model.hidden_dim)
+        with fnn.stage("head"):
+            coef = fnn.conv2d(feat, linf_params["coef"])
+            freq = fnn.conv2d(feat, linf_params["freq"])
+            info_cm = fused_affine_info_cm(linf_params, coef, freq, coord_y,
+                                           coord_x, cell, model.hidden_dim)
 
         def to_cm(img):  # (1, H*, W*, d) -> (rows, n) with H/W padding
             img = jnp.pad(img, ((0, 0), (0, Hp8 - img.shape[1]),
@@ -252,8 +257,10 @@ class LINFPredictor:
         res = res_cm[:d].T.reshape(1, Hp8, Wp, d)[:, :H, :W]
         if model.patch_size != 1:
             return model._fold(res)
-        lr_up = grid_sample_bilinear_separable(
-            inp, coord[:, :, 0, 0], coord[:, 0, :, 1], padding_mode="border")
+        with fnn.stage("addback"):
+            lr_up = grid_sample_bilinear_separable(
+                inp, coord[:, :, 0, 0], coord[:, 0, :, 1],
+                padding_mode="border")
         return res + lr_up
 
     def predict(self, linf_params, prior_params, inp, coord, cell, gt_lr_up=None,

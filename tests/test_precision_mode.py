@@ -102,3 +102,78 @@ print("ok")
                              os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ok" in out.stdout
+
+
+def test_mixed_mode_stage_policy(restore_precision):
+    """BFSR_PRECISION=mixed resolves per-STAGE: encoder/prior run DEFAULT
+    (single-pass bf16), untagged stages HIGH (r3 verdict #2)."""
+    fnn.set_default_precision("mixed")
+    saved = dict(fnn.MIXED_POLICY)
+    try:
+        fnn.MIXED_POLICY.clear()
+        fnn.MIXED_POLICY.update({"encoder": jax.lax.Precision.DEFAULT,
+                                 "prior": jax.lax.Precision.DEFAULT})
+        assert fnn.default_precision() == jax.lax.Precision.HIGH
+        with fnn.stage("encoder"):
+            assert fnn.default_precision() == jax.lax.Precision.DEFAULT
+            with fnn.stage("head"):  # nesting restores correctly
+                assert fnn.default_precision() == jax.lax.Precision.HIGH
+            assert fnn.default_precision() == jax.lax.Precision.DEFAULT
+        with fnn.stage("prior"):
+            assert fnn.default_precision() == jax.lax.Precision.DEFAULT
+        assert fnn.default_precision() == jax.lax.Precision.HIGH
+        # non-mixed modes ignore stages entirely
+        fnn.set_default_precision("high")
+        with fnn.stage("encoder"):
+            assert fnn.default_precision() == jax.lax.Precision.HIGH
+    finally:
+        fnn.MIXED_POLICY.clear()
+        fnn.MIXED_POLICY.update(saved)
+
+
+def test_mixed_mode_env(restore_precision):
+    code = ("import os; os.environ['BFSR_PRECISION']='mixed'; "
+            "import jax; from bfsr_tpu.ops import nn as fnn; "
+            "assert fnn.default_precision() == jax.lax.Precision.HIGH; "
+            "f = fnn.stage('prior'); f.__enter__(); "
+            "assert fnn.default_precision() == jax.lax.Precision.DEFAULT; "
+            "print('ok')")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True)
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr[-1500:]
+
+
+def test_mixed_mode_predictor_runs(rng, restore_precision):
+    """The predictor traces under mixed mode on CPU (stage scopes wired in
+    linf_eval) and produces finite output differing from all-HIGH only
+    within bf16 tolerance on a tiny model."""
+    import bfsr_tpu.models  # noqa: F401
+    from bfsr_tpu import registry
+    from bfsr_tpu.pipelines.linf_eval import LINFPredictor
+    from bfsr_tpu.utils.coords import make_cell, make_coord_np
+
+    m = registry.make({"name": "linf", "args": {
+        "encoder_spec": {"name": "edsr-baseline",
+                         "args": {"n_resblocks": 2, "n_feats": 8,
+                                  "no_upsampling": True}},
+        "imnet_spec": {"name": "flow", "args": {"name": "flow"}},
+        "flow_layers": 2, "num_layer": 2, "hidden_dim": 16}}).freeze()
+    prior = registry.make({"name": "unet", "args": {"in_chans": 3, "depth": 2,
+                                                    "dim": 8,
+                                                    "bilinear": True}})
+    h = w = 8
+    H = W = 16
+    inp = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32))
+    coord = jnp.asarray(make_coord_np((H, W), flatten=False)[None])
+    cell = jnp.asarray(make_cell((H, W))[None])
+    gt = jnp.asarray((rng.random((1, H, W, 3)) - 0.5).astype(np.float32))
+
+    fnn.set_default_precision("high")
+    ref = np.asarray(LINFPredictor(m, prior).predict(
+        m.params, prior.params, inp, coord, cell, gt))
+    fnn.set_default_precision("mixed")
+    out = np.asarray(LINFPredictor(m, prior).predict(
+        m.params, prior.params, inp, coord, cell, gt))
+    assert np.isfinite(out).all()
+    # CPU backends honor precision loosely; just bound the delta
+    assert np.abs(out - ref).max() < 0.1
