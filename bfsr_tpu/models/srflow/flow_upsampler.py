@@ -173,21 +173,34 @@ def precompute_ft(params, plan, conds, lvl1_s2d=True, lvl1_parts=None):
     return out
 
 
-def prep_kernel_ctx(params, plan, ft_cache, interpret=False):
+def prep_kernel_ctx(params, plan, ft_cache, interpret=False, levels=None):
     """Per-step operand bundles for the fused FlowStep Pallas path
-    (``ops.pallas.flow_step``): prepped weights + prepadded conditioning
-    windows, keyed by plan index.  Frozen eval only (needs the ``anic``
-    fold); the caches must come from :func:`precompute_ft` (s2d level 1).
+    (``ops.pallas.flow_step``), keyed by plan index.  Frozen eval only
+    (needs the ``anic`` fold); the caches must come from
+    :func:`precompute_ft` (s2d level 1).
+
+    ``levels``: restrict the kernel to those flow levels (steps at other
+    levels keep the XLA path — encode/decode fall through per index).
+    None = all levels.  Hardware A/B (BENCH_NOTES r4): standalone, the
+    16-step chain wins only at level 3 (96-ch 64^2 state, 1.05-1.14x);
+    levels 1/2 run 0.54-0.90x — their larger extents make XLA's fusions
+    stream-bound-efficient while the kernel pays masked VPU work and
+    thin-matmul (24/48-lane) MXU waste per tap.  In the FULL pipeline
+    even the level-3-only form regresses (83.5 -> 95.9 ms, 0.86x:
+    pad/unpad boundaries + layout transitions), so the predictor default
+    is OFF (profiling/flowstep_probe.py, flowstep_level_probe.py).
 
     Built once per image and shared by encode and decode — the padded
     cache windows replace (not duplicate) the plain cache reads, and the
-    weight prep is tiny.  Returns None when any step lacks ``anic``."""
+    weight prep is tiny.  Returns None when no step qualifies."""
     from bfsr_tpu.ops.pallas import flow_step as fsk
 
     s2d_levels = _cache_s2d_levels(plan, ft_cache)
     ctx = {}
     for i, (entry, p) in enumerate(zip(plan, params["layers"])):
         if entry["kind"] != "step_cond":
+            continue
+        if levels is not None and entry["level"] not in levels:
             continue
         if "anic" not in p or ft_cache[i] is None:
             return None
@@ -200,7 +213,7 @@ def prep_kernel_ctx(params, plan, ft_cache, interpret=False):
         prep = fsk.prep_step(p, entry["c"], phases=P)
         ctx[i] = {"prep": prep, "cond": fsk.pack_cache(cache, h, w),
                   "h": h, "w": w, "interpret": interpret}
-    return ctx
+    return ctx or None
 
 
 def _kernel_chain(x, idxs, params, plan, ctx, reverse):

@@ -97,14 +97,17 @@ class SRFlowNet(Model):
         names = fup.LEVEL_NAMES[self.scale]
         return {lvl: lr_enc[names[lvl]] for lvl in range(1, self.L + 1)}
 
-    def prep_kernel_ctx(self, params, ft_cache, interpret=False):
+    def prep_kernel_ctx(self, params, ft_cache, interpret=False, levels=None):
         """Fused FlowStep kernel operands (fup.prep_kernel_ctx) for the
         B=1 frozen-eval predictors; None when the params/caches do not
-        qualify (unfrozen, batched, or missing caches)."""
+        qualify (unfrozen, batched, or missing caches).  ``levels``
+        restricts the kernel to those flow levels (see fup docstring:
+        only level 3 wins standalone, and even that loses in-program —
+        the predictor defaults the kernel OFF)."""
         if ft_cache is None:
             return None
         return fup.prep_kernel_ctx(params["flow"], self.plan, ft_cache,
-                                   interpret=interpret)
+                                   interpret=interpret, levels=levels)
 
     def normal_flow(self, params, gt, lr, key=None, add_gt_noise=True, lr_enc=None,
                     collect_epses=True, ft_cache=None, want_logdet=True,

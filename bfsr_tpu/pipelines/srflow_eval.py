@@ -27,10 +27,33 @@ class SRFlowLPPredictor:
         self.prior = prior_model
         self.pad_multiple = max(2, int(pad_multiple or 2))
         if use_step_kernel is None:
-            # the fused FlowStep Pallas path needs real Mosaic (interpret
-            # mode is a CPU-testing device) and frozen anic folds
-            use_step_kernel = jax.default_backend() == "tpu"
-        self.use_step_kernel = use_step_kernel
+            # OFF by default: hardware A/B (BENCH_NOTES r4) measured the
+            # fused FlowStep Pallas path LOSING in the full pipeline —
+            # standalone the level-3 chain wins 1.05-1.14x, but in-program
+            # the pad/unpad boundaries and layout transitions cost more
+            # than the kernel saves (83.5 -> 95.9 ms, 0.86-0.88x).
+            # BFSR_SRFLOW_STEP_KERNEL: on|1 enables (level 3, the only
+            # standalone winner), comma levels e.g. "2,3" picks exactly
+            # those, off (default) keeps the XLA path.  Requires real
+            # Mosaic (interpret mode is CPU-testing only) + frozen anic.
+            import os
+
+            env = os.environ.get("BFSR_SRFLOW_STEP_KERNEL", "off").lower()
+            if env in ("off", "0", "false", "none", "auto"):
+                use_step_kernel = False
+            elif env in ("on", "1", "true"):
+                use_step_kernel = jax.default_backend() == "tpu"
+            else:
+                use_step_kernel = tuple(int(x) for x in env.split(","))
+        # True -> the standalone-win level set; a tuple -> exactly those
+        # levels (see BENCH_NOTES r4 for the per-level numbers).
+        if use_step_kernel is True:
+            self.kernel_levels = (3,)
+        elif use_step_kernel:
+            self.kernel_levels = tuple(use_step_kernel)
+        else:
+            self.kernel_levels = None
+        self.use_step_kernel = bool(use_step_kernel)
         self._fn = jax.jit(self._impl)
 
     def _impl(self, params, prior_params, lr):
@@ -40,7 +63,8 @@ class SRFlowLPPredictor:
         lr_up = resize_bilinear(lr, (h * s, w * s))
         lr_enc = model.preprocess(params, lr)
         ft_cache = model.precompute_ft(params, lr_enc)
-        kctx = (model.prep_kernel_ctx(params, ft_cache)
+        kctx = (model.prep_kernel_ctx(params, ft_cache,
+                                      levels=self.kernel_levels)
                 if self.use_step_kernel else None)
         epses, _, _ = model.normal_flow(params, lr_up, lr, add_gt_noise=False,
                                         lr_enc=lr_enc, ft_cache=ft_cache,

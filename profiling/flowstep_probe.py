@@ -22,8 +22,14 @@ def main():
     ap.add_argument("--lr", type=int, default=128)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--levels", default="auto",
+                    help="kernel levels for arm B: 'auto' (measured-win "
+                         "set), 'all', or comma ints e.g. '2,3'.  NOTE: "
+                         "'all' compiles 96 Mosaic instances (~10+ min "
+                         "cold; the level probe is the per-level signal)")
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     import bfsr_tpu.models  # noqa: F401
@@ -31,11 +37,31 @@ def main():
     from bfsr_tpu import registry
     from bfsr_tpu.pipelines.srflow_eval import SRFlowLPPredictor
 
-    model = registry.make({"name": "srflow", "args": dict(_SRFLOW_ARGS)}).freeze()
-    model.params = _balance_flow(_dezero(model.params))
-    prior = registry.make({"name": "srflow-unet", "args": {"depth": 3, "dim": 64}})
+    # Build + transform the params entirely on the CPU backend, then ship
+    # the finished trees to the TPU in one transfer.  Building on-device
+    # costs MINUTES over the ~5 MB/s tunnel (_dezero round-trips every
+    # leaf at ~29 ms each) and leaves the process's dispatch path degraded
+    # for the timed rounds (measured: 1.2 s/iter vs 94 ms for the same
+    # program in a clean process — r4).
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = registry.make({"name": "srflow", "args": dict(_SRFLOW_ARGS)})
+        model.params = _balance_flow(_dezero(model.params))
+        model.freeze()  # AFTER the swap: freeze caches anic/invconv folds
+        prior = registry.make({"name": "srflow-unet",
+                               "args": {"depth": 3, "dim": 64}})
+    dev = jax.devices()[0]
+    model.params = jax.device_put(model.params, dev)
+    prior.params = jax.device_put(prior.params, dev)
+    print("params built (cpu) and shipped", flush=True)
+    if args.levels == "auto":
+        lv = True
+    elif args.levels == "all":
+        lv = (1, 2, 3)
+    else:
+        lv = tuple(int(x) for x in args.levels.split(","))
     pred_a = SRFlowLPPredictor(model, prior, use_step_kernel=False)
-    pred_b = SRFlowLPPredictor(model, prior, use_step_kernel=True)
+    pred_b = SRFlowLPPredictor(model, prior, use_step_kernel=lv)
 
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.random((1, args.lr, args.lr, 3)).astype(np.float32))

@@ -165,3 +165,22 @@ def test_srflow_e2e_kernel_parity():
                                want_logdet=False, kernel_ctx=kctx)
     np.testing.assert_allclose(np.asarray(got_sr), np.asarray(ref_sr),
                                atol=3e-4, rtol=3e-4)
+
+    # level-restricted ctx (the shipped default keeps only the measured-win
+    # level 3; other levels fall through to the XLA path per index)
+    kctx3 = m.prep_kernel_ctx(m.params, ft_cache, interpret=True, levels=(3,))
+    assert kctx3 is not None and len(kctx3) == 3  # K=3 cond steps at level 3
+    got3_e, _, _ = m.normal_flow(m.params, gt, lr, add_gt_noise=False,
+                                 lr_enc=lr_enc, ft_cache=ft_cache,
+                                 want_logdet=False, kernel_ctx=kctx3)
+    for a, b in zip(got3_e, ref_e):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
+    got3_sr, _ = m.reverse_flow(m.params, lr, epses=ref_e, add_gt_noise=False,
+                                lr_enc=lr_enc, ft_cache=ft_cache,
+                                want_logdet=False, kernel_ctx=kctx3)
+    np.testing.assert_allclose(np.asarray(got3_sr), np.asarray(ref_sr),
+                               atol=3e-4, rtol=3e-4)
+    # an empty restriction collapses to None (pure XLA path)
+    assert m.prep_kernel_ctx(m.params, ft_cache, interpret=True,
+                             levels=()) is None
