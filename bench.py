@@ -372,17 +372,25 @@ def run_precision_delta(which):
         for mode in ("high", "default"):
             set_default_precision(mode)
             if which == "srflow":
+                import jax
+
                 import bfsr_tpu.models  # noqa: F401
                 from bfsr_tpu import registry
                 from bfsr_tpu.pipelines.srflow_eval import SRFlowLPPredictor
 
-                model = registry.make({"name": "srflow",
-                                       "args": dict(_SRFLOW_ARGS)})
-                model.params = _balance_flow(_dezero(model.params))
-                model.freeze()
-                prior = registry.make({"name": "srflow-unet",
-                                       "args": {"depth": 3, "dim": 64}})
-                prior.params = _dezero(prior.params)
+                # build + dezero on CPU, ship once (per-leaf on-device
+                # round trips degrade the process dispatch path — CLAUDE.md)
+                with jax.default_device(jax.devices("cpu")[0]):
+                    model = registry.make({"name": "srflow",
+                                           "args": dict(_SRFLOW_ARGS)})
+                    model.params = _balance_flow(_dezero(model.params))
+                    model.freeze()
+                    prior = registry.make({"name": "srflow-unet",
+                                           "args": {"depth": 3, "dim": 64}})
+                    prior.params = _dezero(prior.params)
+                dev = jax.devices()[0]
+                model.params = jax.device_put(model.params, dev)
+                prior.params = jax.device_put(prior.params, dev)
                 predictor = SRFlowLPPredictor(model, prior)
                 outs[mode] = np.asarray(
                     predictor._fn(model.params, prior.params, jnp.asarray(lr)))

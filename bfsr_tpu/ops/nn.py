@@ -40,8 +40,11 @@ _PRECISION = _PREC_NAMES.get(_MODE, jax.lax.Precision.HIGH)
 # bf16), the conditioning-critical rest stays HIGH.  Stage scopes are
 # declared at pipeline call sites via ``stage(...)``; attribution tables
 # in profiling/prec_split_linf.py / prec_split.py and BENCH_NOTES.
+# Default policy = prior-only (measured r4, DIV2K): 6.7 -> 8.4 MP/s at
+# 115 dB agreement vs all-HIGH — i.e. near-f32 fidelity.  Adding
+# "encoder" buys 8.6 MP/s but drops fidelity to serving-grade 68.5 dB;
+# at that point plain BFSR_PRECISION=default (8.7) is the simpler choice.
 MIXED_POLICY = {
-    "encoder": jax.lax.Precision.DEFAULT,
     "prior": jax.lax.Precision.DEFAULT,
 }
 _STAGE = None
@@ -99,7 +102,9 @@ def conv2d(x, p, stride=1, padding="SAME", dilation=1, precision=None):
         rhs_dilation=dilation,
         dimension_numbers=_DIMNUMS,
         preferred_element_type=jnp.float32,
-        precision=precision or _PRECISION,
+        # default_precision() (not the module _PRECISION) so the mixed
+        # per-stage policy reaches every conv at trace time
+        precision=precision or default_precision(),
     )
     if "b" in p and p["b"] is not None:
         y = y + p["b"]
@@ -128,7 +133,7 @@ def conv3x3_y3(x, w):
 
 def linear(x, p, precision=None):
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32,
-                precision=precision or _PRECISION)
+                precision=precision or default_precision())
     if "b" in p and p["b"] is not None:
         y = y + p["b"]
     return y.astype(x.dtype)

@@ -183,12 +183,15 @@ class LINFPredictor:
         model/geometry supports it (UNet prior, even H/W, B=1)."""
         from bfsr_tpu.models.unet import UNet, unet_apply_fused
 
-        if (self.use_pallas and isinstance(self.prior, UNet)
-                and z_map.shape[0] == 1
-                and z_map.shape[1] % 2 == 0 and z_map.shape[2] % 2 == 0):
-            return unet_apply_fused(prior_params, z_map, inp,
-                                    depth=self.prior.depth)
         with fnn.stage("prior"):
+            # both paths inside the scope so the mixed precision policy
+            # reaches the fused UNet too (its convs/kernels read
+            # default_precision() at trace time)
+            if (self.use_pallas and isinstance(self.prior, UNet)
+                    and z_map.shape[0] == 1
+                    and z_map.shape[1] % 2 == 0 and z_map.shape[2] % 2 == 0):
+                return unet_apply_fused(prior_params, z_map, inp,
+                                        depth=self.prior.depth)
             return self.prior.apply(prior_params, z_map, inp)
 
     def _predict_pallas(self, linf_params, prior_params, inp, coord, cell,

@@ -85,11 +85,12 @@ def main():
     _, out = run("default", {})
     row("serving (all)", out)
 
-    # interleaved timing: HIGH vs MIXED vs serving
+    # interleaved timing: HIGH vs MIXED variants vs serving
     preds = {}
     for mode, policy in (("high", {}), ("mixed", {"encoder": D, "prior": D}),
+                         ("prior-only", {"prior": D}),
                          ("default", {})):
-        fnn.set_default_precision(mode)
+        fnn.set_default_precision("mixed" if policy else mode)
         fnn.MIXED_POLICY.clear()
         fnn.MIXED_POLICY.update(policy)
         p = LINFPredictor(model, prior)
@@ -108,13 +109,13 @@ def main():
 
     for r in range(args.rounds):
         line = f"round {r}:"
-        for mode in ("high", "mixed", "default"):
+        for mode in ("high", "mixed", "prior-only", "default"):
             ms = timed(preds[mode])
             line += f"  {mode} {ms:7.1f} ms ({H*W/ms/1e3:5.2f} MP/s)"
         print(line, flush=True)
     fnn.set_default_precision("high")
     fnn.MIXED_POLICY.clear()
-    fnn.MIXED_POLICY.update({"encoder": D, "prior": D})
+    fnn.MIXED_POLICY.update({"prior": D})  # the shipped default policy
 
 
 if __name__ == "__main__":

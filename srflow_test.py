@@ -106,11 +106,13 @@ def main():
                              "before the metric sweep (shapes read from "
                              "PNG headers — no decode)")
     parser.add_argument("--precision", default=None,
-                        choices=["default", "high", "highest"],
+                        choices=["default", "high", "highest", "mixed"],
                         help="matmul/conv precision: 'high' (f32-accurate, "
-                             "the default) or 'default' (bf16 serving "
-                             "mode, ~1.2-1.7x faster; flow/log-det paths "
-                             "stay f32-exact either way)")
+                             "the default), 'default' (bf16 serving "
+                             "mode, ~1.2-1.7x faster), or 'mixed' "
+                             "(per-stage policy, BENCH_NOTES r4; "
+                             "flow/log-det paths stay f32-exact in "
+                             "every mode)")
     args = parser.parse_args()
 
     if args.precision:

@@ -97,11 +97,14 @@ def main():
     parser.add_argument("--no_lpips", action="store_true",
                         help="skip the LPIPS metric in --detail mode")
     parser.add_argument("--precision", default=None,
-                        choices=["default", "high", "highest"],
+                        choices=["default", "high", "highest", "mixed"],
                         help="matmul/conv precision: 'high' (f32-accurate, "
-                             "the default) or 'default' (bf16 serving "
-                             "mode, ~1.2-1.7x faster; flow/log-det paths "
-                             "stay f32-exact either way)")
+                             "the default), 'default' (bf16 serving "
+                             "mode, ~1.2-1.7x faster), or 'mixed' "
+                             "(per-stage: prior/encoder bf16, head/flow "
+                             "HIGH — most of serving's speed at near-f32 "
+                             "fidelity, BENCH_NOTES r4; flow/log-det "
+                             "paths stay f32-exact in every mode)")
     args = parser.parse_args()
 
     if args.precision:

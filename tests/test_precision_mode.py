@@ -177,3 +177,43 @@ def test_mixed_mode_predictor_runs(rng, restore_precision):
     assert np.isfinite(out).all()
     # CPU backends honor precision loosely; just bound the delta
     assert np.abs(out - ref).max() < 0.1
+
+
+def test_conv_linear_consume_stage_policy(rng, restore_precision):
+    """Regression (r4): conv2d/linear must read the STAGE-aware
+    default_precision(), not the module-level mode constant — under
+    mixed, a conv traced inside a DEFAULT-stage must carry
+    Precision.DEFAULT in its jaxpr (CPU numerics can't show this;
+    assert on the traced primitive params)."""
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    p = {"w": jnp.zeros((3, 3, 4, 4), jnp.float32)}
+    xl = jnp.zeros((5, 4), jnp.float32)
+    pl = {"w": jnp.zeros((4, 6), jnp.float32)}
+
+    def prec_of(jaxpr, prim):
+        for eq in jaxpr.jaxpr.eqns:
+            if eq.primitive.name == prim:
+                return eq.params["precision"]
+        raise AssertionError(f"{prim} not in jaxpr")
+
+    fnn.set_default_precision("mixed")
+    saved = dict(fnn.MIXED_POLICY)
+    try:
+        fnn.MIXED_POLICY.clear()
+        fnn.MIXED_POLICY.update({"prior": jax.lax.Precision.DEFAULT})
+
+        def in_stage(fn, *a):
+            with fnn.stage("prior"):
+                return fn(*a)
+
+        jx = jax.make_jaxpr(lambda a, b: in_stage(fnn.conv2d, a, b))(x, p)
+        assert prec_of(jx, "conv_general_dilated") == (
+            jax.lax.Precision.DEFAULT,) * 2
+        jx = jax.make_jaxpr(fnn.conv2d)(x, p)  # unscoped -> HIGH
+        assert prec_of(jx, "conv_general_dilated") == (
+            jax.lax.Precision.HIGH,) * 2
+        jx = jax.make_jaxpr(lambda a, b: in_stage(fnn.linear, a, b))(xl, pl)
+        assert prec_of(jx, "dot_general") == (jax.lax.Precision.DEFAULT,) * 2
+    finally:
+        fnn.MIXED_POLICY.clear()
+        fnn.MIXED_POLICY.update(saved)
