@@ -220,8 +220,14 @@ def run_srflow_multichip_bench(dp=None):
     dp = dp or n_dev
     mesh = make_mesh({"dp": dp})
 
-    model = registry.make({"name": "srflow", "args": dict(_SRFLOW_ARGS)}).freeze()
-    prior = registry.make({"name": "srflow-unet", "args": {"depth": 3, "dim": 64}})
+    # build on CPU: on-device tree construction over the tunnel is slow
+    # and degrades the process dispatch path (CLAUDE.md); replicate()
+    # device_puts the finished tree below
+    with jax.default_device(jax.devices("cpu")[0]):
+        model = registry.make({"name": "srflow",
+                               "args": dict(_SRFLOW_ARGS)}).freeze()
+        prior = registry.make({"name": "srflow-unet",
+                               "args": {"depth": 3, "dim": 64}})
     predictor = SRFlowLPPredictor(model, prior)
 
     rng = np.random.default_rng(0)
@@ -263,14 +269,23 @@ _SRFLOW_ARGS = {"in_nc": 3, "out_nc": 3, "nf": 64, "nb": 23, "scale": 4,
 def run_srflow_bench():
     """SRFlow-LP learned-prior pipeline (full size: nb=23, 2x54 flow steps,
     two-branch prior), LR 128x128 -> HR 512x512, single chip."""
+    import jax
     import jax.numpy as jnp
 
     import bfsr_tpu.models  # noqa: F401
     from bfsr_tpu import registry
     from bfsr_tpu.pipelines.srflow_eval import SRFlowLPPredictor
 
-    model = registry.make({"name": "srflow", "args": dict(_SRFLOW_ARGS)}).freeze()
-    prior = registry.make({"name": "srflow-unet", "args": {"depth": 3, "dim": 64}})
+    # build on CPU, ship ONE device_put (CLAUDE.md: on-device tree builds
+    # over the tunnel degrade the process dispatch path ~13x)
+    with jax.default_device(jax.devices("cpu")[0]):
+        model = registry.make({"name": "srflow",
+                               "args": dict(_SRFLOW_ARGS)}).freeze()
+        prior = registry.make({"name": "srflow-unet",
+                               "args": {"depth": 3, "dim": 64}})
+    dev = jax.devices()[0]
+    model.params = jax.device_put(model.params, dev)
+    prior.params = jax.device_put(prior.params, dev)
     predictor = SRFlowLPPredictor(model, prior)
 
     rng = np.random.default_rng(0)
@@ -614,7 +629,9 @@ def run_train_bench(which, iters=10, rounds=3):
 
     from bfsr_tpu.pipelines.srflow_train import make_srflow_train_step
 
-    model = registry.make({"name": "srflow", "args": dict(_SRFLOW_ARGS)})
+    with jax.default_device(jax.devices("cpu")[0]):
+        model = registry.make({"name": "srflow", "args": dict(_SRFLOW_ARGS)})
+    model.params = jax.device_put(model.params, jax.devices()[0])
     optimizer = optax.chain(optax.clip_by_global_norm(10.0),
                             optax.adam(2.5e-4))
     B, G = 12, 160

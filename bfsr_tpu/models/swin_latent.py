@@ -30,6 +30,7 @@ from bfsr_tpu.models.swinir import (
     relative_position_index,
     window_attention,
     init_swin_block,
+    drop_path,
     _window_partition,
     _window_reverse,
 )
@@ -57,18 +58,6 @@ def _layer_mask(H, W, ws, shift):
     mw = mw.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
     diff = mw[:, None, :] - mw[:, :, None]
     return jnp.asarray(np.where(diff != 0, -100.0, 0.0).astype(np.float32))
-
-
-def drop_path(x, rate, key):
-    """timm DropPath (stochastic depth): per-SAMPLE bernoulli keep mask on
-    the residual branch, scaled by 1/keep (timm layers/drop.py, referenced
-    from swin_transformer.py:13,316).  Identity when rate==0 or key is
-    None (eval)."""
-    if key is None or rate <= 0.0:
-        return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
-    return x * mask.astype(x.dtype) / keep
 
 
 def _latent_block(x, p, num_heads, ws, shift, rel_index, attn_mask,

@@ -5,9 +5,13 @@ registry builds it with the default config (embed_dim 180, 6 RSTB layers of
 depth 6, heads 6, window 8, mlp_ratio 2, upsampler='none' -> out_dim 64,
 swinir.py:650-670,855-857).
 
-Functional NHWC implementation; inference-mode (dropout/drop-path are
-identity, matching eval semantics — the reference notes drop_path has "no
-impact on SR results", swinir.py:719).  Inputs are reflect-padded to a
+Functional NHWC implementation.  Eval is the default (dropout/drop-path
+identity — the reference notes drop_path has "no impact on SR results",
+swinir.py:719, and its drop_rate/attn_drop_rate default to 0 so drop_path
+is the only stochastic regularizer); training mode (`key=...`) applies
+stochastic depth with the reference decay rule linspace(0,
+drop_path_rate=0.1, sum(depths)) (swinir.py:653,705).  Inputs are
+reflect-padded to a
 window multiple and the padded feature map is returned, exactly like the
 reference's check_image_size + 'none' path (swinir.py:790-821); the eval
 harness generates query coords for the padded size (test.py:99-107).
@@ -31,6 +35,17 @@ def layer_norm(x, p, eps=1e-5):
 
 def init_layer_norm(c):
     return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def drop_path(x, rate, key):
+    """timm DropPath (stochastic depth): per-SAMPLE bernoulli keep mask on
+    the residual branch, scaled by 1/keep (timm layers/drop.py, referenced
+    from swinir.py:12,208).  Identity when rate==0 or key is None (eval)."""
+    if key is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
 
 
 def relative_position_index(ws):
@@ -98,7 +113,10 @@ def window_attention(x, p, num_heads, rel_index, mask=None):
     return fnn.linear(out, p["proj"])
 
 
-def swin_block(x_bhwc, p, num_heads, ws, shift, rel_index):
+def swin_block(x_bhwc, p, num_heads, ws, shift, rel_index, dp_rate=0.0,
+               key=None):
+    """dp_rate/key: stochastic depth on both residuals
+    (swinir.py:280-281); identity at the eval default."""
     B, H, W, C = x_bhwc.shape
     shortcut = x_bhwc
     x = layer_norm(x_bhwc, p["norm1"])
@@ -112,12 +130,15 @@ def swin_block(x_bhwc, p, num_heads, ws, shift, rel_index):
     x = _window_reverse(attn, ws, B, H, W)
     if shift > 0:
         x = jnp.roll(x, (shift, shift), axis=(1, 2))
-    x = shortcut + x
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    x = shortcut + drop_path(x, dp_rate, k1)
     h = layer_norm(x, p["norm2"])
     h = fnn.linear(h, p["mlp_fc1"])
     h = jax.nn.gelu(h, approximate=False)
     h = fnn.linear(h, p["mlp_fc2"])
-    return x + h
+    return x + drop_path(h, dp_rate, k2)
 
 
 def init_swin_block(key, dim, num_heads, ws, mlp_ratio):
@@ -159,9 +180,14 @@ def init_swinir(key, embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
     return p
 
 
-def swinir_encode(params, x, depths=(6,) * 6, num_heads=(6,) * 6, window_size=8):
+def swinir_encode(params, x, depths=(6,) * 6, num_heads=(6,) * 6,
+                  window_size=8, key=None, drop_path_rate=0.1):
     """x: (B, H, W, 3) -> (B, Hp, Wp, num_feat) with Hp/Wp padded to a
-    window multiple (reference 'none' upsampler path)."""
+    window multiple (reference 'none' upsampler path).
+
+    key: training-mode PRNG for stochastic depth (None = eval/identity);
+    per-block rates follow linspace(0, drop_path_rate, sum(depths))
+    (swinir.py:705)."""
     ws = window_size
     B, h, w, _ = x.shape
     pad_h = (ws - h % ws) % ws
@@ -173,14 +199,19 @@ def swinir_encode(params, x, depths=(6,) * 6, num_heads=(6,) * 6, window_size=8)
     feat = fnn.conv2d(x, params["conv_first"])
     rel_index = jnp.asarray(relative_position_index(ws))
 
+    dpr = np.linspace(0.0, drop_path_rate, sum(depths))
     h_tokens = feat
     if params.get("patch_norm") is not None:
         h_tokens = layer_norm(h_tokens, params["patch_norm"])
+    gi = 0
     for li, layer in enumerate(params["layers"]):
         res = h_tokens
         for bi, blk in enumerate(layer["blocks"]):
             shift = 0 if bi % 2 == 0 else ws // 2
-            res = swin_block(res, blk, num_heads[li], ws, shift, rel_index)
+            bkey = jax.random.fold_in(key, gi) if key is not None else None
+            res = swin_block(res, blk, num_heads[li], ws, shift, rel_index,
+                             dp_rate=float(dpr[gi]), key=bkey)
+            gi += 1
         res = fnn.conv2d(res, layer["conv"])
         h_tokens = h_tokens + res
     h_tokens = layer_norm(h_tokens, params["norm"])
@@ -206,8 +237,13 @@ class SwinIR(Model):
         self.params = init_swinir(jax.random.PRNGKey(0), embed_dim, self.depths,
                                   self.num_heads, window_size, mlp_ratio, num_feat)
 
-    def apply(self, params, x):
-        return swinir_encode(params, x, self.depths, self.num_heads, self.window_size)
+    def apply(self, params, x, training=False, key=None):
+        """training=True with a key applies stochastic depth (reference
+        drop_path_rate=0.1 decay rule); without a key it degrades to the
+        deterministic path (matching eval semantics)."""
+        return swinir_encode(params, x, self.depths, self.num_heads,
+                             self.window_size,
+                             key=key if training else None)
 
     def __call__(self, x):
         return self.apply(self.params, x)

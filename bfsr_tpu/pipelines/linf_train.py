@@ -42,9 +42,15 @@ def make_train_step(linf_model, prior_model, vgg_model, optimizer,
         z_lr = jax.lax.stop_gradient(z_lr)
 
         # key: stochastic-depth RNG for priors that use it (swin_latent's
-        # reference drop_path_rate=0.1 decay rule); BN priors ignore it
-        z_learned, bn_stats = prior_model.apply(prior_params, z_lr, inp,
-                                                training=True, key=key)
+        # reference drop_path_rate=0.1 decay rule); BN priors ignore it.
+        # stage scope: BFSR_PRECISION=mixed trains the prior in bf16
+        # (fwd AND the transposed backward ops inherit the precision) —
+        # measured convergence-equivalent, profiling/train_curve.py
+        from bfsr_tpu.ops import nn as fnn
+
+        with fnn.stage("prior"):
+            z_learned, bn_stats = prior_model.apply(prior_params, z_lr, inp,
+                                                    training=True, key=key)
 
         latent_l = jnp.float32(0.0)
         if latent_weight > 0:

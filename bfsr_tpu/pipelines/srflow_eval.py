@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from bfsr_tpu.models.srflow.srflow_net import standardize_epses
+from bfsr_tpu.ops import nn as fnn
 from bfsr_tpu.ops.interp import resize_bilinear
 
 
@@ -70,7 +71,11 @@ class SRFlowLPPredictor:
                                         lr_enc=lr_enc, ft_cache=ft_cache,
                                         want_logdet=False, kernel_ctx=kctx)
         epses = standardize_epses(epses)
-        learned = self.prior.apply(prior_params, epses)
+        # stage scope: under BFSR_PRECISION=mixed the prior runs bf16
+        # (measured 102.0 dB benign, BENCH_NOTES SRFlow attribution) while
+        # the fragile conditioning stages (~43-47 dB each) stay HIGH
+        with fnn.stage("prior"):
+            learned = self.prior.apply(prior_params, epses)
         sr, _ = model.reverse_flow(params, lr, epses=learned,
                                    add_gt_noise=False, lr_enc=lr_enc,
                                    ft_cache=ft_cache, want_logdet=False,
@@ -138,7 +143,8 @@ class SRFlowSpatialPredictor:
                                         lr_enc=lr_enc, ft_cache=ft_cache,
                                         want_logdet=False)
         epses = standardize_epses(epses)
-        learned = self.prior.apply(prior_params, epses)
+        with fnn.stage("prior"):
+            learned = self.prior.apply(prior_params, epses)
         sr, _ = model.reverse_flow(params, lr, epses=learned,
                                    add_gt_noise=False, lr_enc=lr_enc,
                                    ft_cache=ft_cache, want_logdet=False)

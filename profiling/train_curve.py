@@ -89,7 +89,17 @@ def main():
     ap.add_argument("--scale", type=int, default=2)
     ap.add_argument("--n_train", type=int, default=64,
                     help="distinct training crops cycled through")
+    ap.add_argument("--precision", default=None,
+                    choices=["default", "high", "highest", "mixed"],
+                    help="mixed = bf16 prior fwd+bwd (stage scope in "
+                         "linf_train), rest HIGH — the training-side "
+                         "counterpart of the eval mixed mode")
     args = ap.parse_args()
+
+    if args.precision:
+        from bfsr_tpu.ops.nn import set_default_precision
+
+        set_default_precision(args.precision)
 
     h = w = args.lr_size
     H, W = h * args.scale, w * args.scale

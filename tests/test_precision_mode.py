@@ -179,6 +179,58 @@ def test_mixed_mode_predictor_runs(rng, restore_precision):
     assert np.abs(out - ref).max() < 0.1
 
 
+def _collect_precisions(jaxpr, out):
+    """All 'precision' params in a jaxpr, recursing into sub-jaxprs
+    (scan/pjit/cond bodies)."""
+    from jax.extend import core as jcore
+
+    for eq in jaxpr.eqns:
+        if "precision" in eq.params and eq.params["precision"] is not None:
+            out.append(eq.params["precision"])
+        for v in eq.params.values():
+            vs = v if isinstance(v, (tuple, list)) else (v,)
+            for sub in vs:
+                if isinstance(sub, jcore.ClosedJaxpr):
+                    _collect_precisions(sub.jaxpr, out)
+                elif isinstance(sub, jcore.Jaxpr):
+                    _collect_precisions(sub, out)
+    return out
+
+
+def test_srflow_predictor_mixed_prior_stage(rng, restore_precision):
+    """SRFlow mixed mode (r4): the predictor's prior stage traces DEFAULT
+    (measured 102 dB benign, BENCH_NOTES SRFlow attribution) while the
+    fragile conditioning stages (trunk/ft/flow, ~43-47 dB each) keep
+    HIGH.  Asserted on the traced precisions of the full predictor body."""
+    import bfsr_tpu.models  # noqa: F401
+    from bfsr_tpu import registry
+    from bfsr_tpu.pipelines.srflow_eval import SRFlowLPPredictor
+
+    m = registry.make({
+        "name": "srflow",
+        "args": {"nf": 8, "nb": 2, "gc": 4, "K": 2, "L": 3,
+                 "hidden_channels": 8, "stack_blocks": (0, 1),
+                 "quant": 32}}).freeze()
+    prior = registry.make({"name": "srflow-unet",
+                           "args": {"depth": 2, "dim": 8}})
+    lr = jnp.zeros((1, 8, 8, 3), jnp.float32)
+
+    def precs(mode):
+        fnn.set_default_precision(mode)
+        pred = SRFlowLPPredictor(m, prior)
+        jx = jax.make_jaxpr(pred._impl)(m.params, prior.params, lr)
+        flat = []
+        for p in _collect_precisions(jx.jaxpr, []):
+            flat.extend(p if isinstance(p, tuple) else (p,))
+        return flat
+
+    mixed = precs("mixed")
+    assert jax.lax.Precision.DEFAULT in mixed  # the prior went bf16
+    assert jax.lax.Precision.HIGH in mixed     # conditioning stayed HIGH
+    high = precs("high")
+    assert jax.lax.Precision.DEFAULT not in high
+
+
 def test_conv_linear_consume_stage_policy(rng, restore_precision):
     """Regression (r4): conv2d/linear must read the STAGE-aware
     default_precision(), not the module-level mode constant — under

@@ -60,3 +60,38 @@ def test_swinir_registry_build(rng):
 
     m = registry.make({"name": "swinir", "args": {}})
     assert m.out_dim == 64
+
+
+def test_swinir_training_stochastic_depth(rng):
+    """Training mode (r4): drop_path with the reference decay rule
+    linspace(0, 0.1, sum(depths)) (swinir.py:653,705) — stochastic with a
+    key, deterministic and identical-to-eval without one."""
+    import jax
+
+    p = init_swinir(jax.random.PRNGKey(0), embed_dim=16, depths=(2, 2),
+                    num_heads=(2, 2), window_size=4, mlp_ratio=2.0,
+                    num_feat=8)
+    x = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+    kw = dict(depths=(2, 2), num_heads=(2, 2), window_size=4)
+    e1 = swinir_encode(p, x, **kw)
+    e2 = swinir_encode(p, x, **kw, key=None)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    t1 = swinir_encode(p, x, **kw, key=jax.random.PRNGKey(1))
+    t2 = swinir_encode(p, x, **kw, key=jax.random.PRNGKey(5))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    # rate-0 everywhere degrades to eval even with a key
+    t0 = swinir_encode(p, x, **kw, key=jax.random.PRNGKey(1),
+                       drop_path_rate=0.0)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(e1))
+    # Model.apply threads training/key the same way
+    from bfsr_tpu import registry
+    import bfsr_tpu.models  # noqa: F401
+
+    m = registry.make({"name": "swinir", "args": {
+        "embed_dim": 16, "depths": (2, 2), "num_heads": (2, 2),
+        "window_size": 4, "mlp_ratio": 2.0, "num_feat": 8}})
+    a1 = m.apply(m.params, x, training=True, key=jax.random.PRNGKey(1))
+    a2 = m.apply(m.params, x, training=True)  # no key -> deterministic
+    a3 = m.apply(m.params, x)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(a3))
+    assert not np.allclose(np.asarray(a1), np.asarray(a3))

@@ -212,7 +212,17 @@ if __name__ == "__main__":
     parser.add_argument("--allow_random_vgg", action="store_true",
                         help="proceed with a random-weight VGG perceptual "
                              "loss when no converted weights are given")
+    parser.add_argument("--precision", default=None,
+                        choices=["default", "high", "highest", "mixed"],
+                        help="matmul/conv precision; 'mixed' trains the "
+                             "prior in bf16 (stage scope in linf_train; "
+                             "measured convergence-equivalent, "
+                             "profiling/train_curve.py), rest HIGH")
     args = parser.parse_args()
+    if args.precision:
+        from bfsr_tpu.ops.nn import set_default_precision
+
+        set_default_precision(args.precision)
     if args.patch is not None and (args.patch <= 1 or args.patch % 2 == 0):
         parser.error("--patch must be an odd integer > 1 (patch models "
                      "query patch-center coordinates; reference "
