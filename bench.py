@@ -599,9 +599,16 @@ def run_train_bench(which, iters=10, rounds=3):
 
         B, h, scale = 16, 48, 2
         H = h * scale
-        model, _ = _flagship()
-        prior = registry.make({"name": "unet", "args": {
-            "in_chans": 3, "depth": 3, "dim": 64, "bilinear": True}})
+        # build on CPU, ship one device_put (CLAUDE.md: on-device builds
+        # degrade the process dispatch path — at this step size the
+        # host-bound dispatch inflates ms/step)
+        with jax.default_device(jax.devices("cpu")[0]):
+            model, _ = _flagship()
+            prior = registry.make({"name": "unet", "args": {
+                "in_chans": 3, "depth": 3, "dim": 64, "bilinear": True}})
+        dev = jax.devices()[0]
+        model.params = jax.device_put(model.params, dev)
+        prior.params = jax.device_put(prior.params, dev)
         optimizer = optax.adam(1e-4)
         step0 = make_train_step(model, prior, None, optimizer,
                                 vgg_weight=0.0, latent_weight=1.0)

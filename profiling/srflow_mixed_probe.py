@@ -26,7 +26,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--modes", default="high,mixed,default",
+                    help="comma list; single mode = differential for "
+                         "multi-program process effects")
     args = ap.parse_args()
+    modes = tuple(args.modes.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -54,7 +58,7 @@ def main():
     lr = jnp.asarray(rng.random((1, 128, 128, 3)).astype(np.float32))
 
     preds, outs = {}, {}
-    for mode in ("high", "mixed", "default"):
+    for mode in modes:
         fnn.set_default_precision(mode)
         p = SRFlowLPPredictor(model, prior)
         o = p._fn(model.params, prior.params, lr)
@@ -63,14 +67,17 @@ def main():
         outs[mode] = np.asarray(o)
     fnn.set_default_precision("high")
 
-    ref = outs["high"].astype(np.float64)
-    print(f"{'mode':<10} {'maxabs':>10} {'rms':>10} {'dB':>7}", flush=True)
-    for mode in ("mixed", "default"):
-        d = np.abs(outs[mode].astype(np.float64) - ref)
-        rms = float(np.sqrt((d ** 2).mean()))
-        db = -20 * np.log10(rms + 1e-12)
-        print(f"{mode:<10} {d.max():>10.3e} {rms:>10.3e} {db:>7.1f}",
-              flush=True)
+    if "high" in modes:
+        ref = outs["high"].astype(np.float64)
+        print(f"{'mode':<10} {'maxabs':>10} {'rms':>10} {'dB':>7}", flush=True)
+        for mode in modes:
+            if mode == "high":
+                continue
+            d = np.abs(outs[mode].astype(np.float64) - ref)
+            rms = float(np.sqrt((d ** 2).mean()))
+            db = -20 * np.log10(rms + 1e-12)
+            print(f"{mode:<10} {d.max():>10.3e} {rms:>10.3e} {db:>7.1f}",
+                  flush=True)
 
     def timed(p):
         t0 = time.perf_counter()
@@ -82,7 +89,7 @@ def main():
 
     for r in range(args.rounds):
         line = f"round {r}:"
-        for mode in ("high", "mixed", "default"):
+        for mode in modes:
             ms = timed(preds[mode])
             line += f"  {mode} {ms:6.1f} ms ({512*512/ms/1e3:5.2f} MP/s)"
         print(line, flush=True)
