@@ -90,6 +90,47 @@ def init_flow_upsampler(key, plan, cond_channels=320, hidden_channels=64):
     return {"layers": params}
 
 
+def actnorms_unprimed(params):
+    """True iff every step actnorm still carries its all-zero init (no
+    data-dependent priming, no training, no converted checkpoint)."""
+    for p in params["layers"]:
+        if "actnorm" in p:
+            a = p["actnorm"]
+            if bool(jnp.any(a["bias"] != 0)) or bool(jnp.any(a["logs"] != 0)):
+                return False
+    return True
+
+
+def prime_actnorms(params, plan, gt, conds):
+    """Data-dependent actnorm initialization from one batch (reference
+    FlowActNorms.py:45-59 primes each ActNorm2d the first time data flows
+    through it).  Runs one eager encode, setting each step's actnorm to
+    whiten its incoming activation *before* applying it, exactly the
+    reference ordering.  Returns a new flow-params tree; call before
+    :func:`cache_flow_inverses` (priming invalidates the anic folds).
+
+    gt: (B, H, W, 3) first-batch GT; conds: as for :func:`encode`.
+    """
+    layers = []
+    x = gt
+    for entry, p in zip(plan, params["layers"]):
+        kind = entry["kind"]
+        p = dict(p)
+        if kind == "squeeze":
+            x = flows.squeeze2d(x)
+        elif kind in ("step_nc", "step_cond"):
+            p["actnorm"] = flows.actnorm_init_stats(x)
+            x, _ = flows.actnorm(x, p["actnorm"], None)
+            x, _ = flows.invconv1x1(x, p["invconv"], None)
+            if kind == "step_cond":
+                x, _ = flows.cond_affine(x, conds[entry["level"]],
+                                         p["affine"], None)
+        elif kind == "split":
+            x, _, _ = flows.split2d(x, p, None, ft=None)
+        layers.append(p)
+    return {"layers": layers}
+
+
 def cache_flow_inverses(params):
     """Attach w_inv/logabsdet caches to every invconv (frozen inference),
     plus the folded actnorm+invconv affine (one matmul per step pair,

@@ -87,6 +87,18 @@ class SRFlowNet(Model):
         self.params["flow"] = fup.cache_flow_inverses(self.params["flow"])
         return self
 
+    def prime_actnorms(self, params, gt, lr):
+        """Data-dependent actnorm init from one (gt, lr) batch (reference
+        FlowActNorms.py:45-59).  Returns a new params tree; only meaningful
+        on random-init params (converted checkpoints carry trained stats),
+        and must run before :meth:`freeze`."""
+        lr_enc = self.preprocess(params, lr)
+        flow = fup.prime_actnorms(params["flow"], self.plan, gt,
+                                  self._conds(lr_enc))
+        out = dict(params)
+        out["flow"] = flow
+        return out
+
     # -- pure functions ---------------------------------------------------
 
     def preprocess(self, params, lr):

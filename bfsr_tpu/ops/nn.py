@@ -32,8 +32,18 @@ _PREC_NAMES = {
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
+def _parse_mode(mode):
+    """Validate a precision-mode string: a typo ('defualt') must fail loudly
+    instead of silently benchmarking HIGH (round-4 advisor)."""
+    if mode not in set(_PREC_NAMES) | {"mixed"}:
+        raise ValueError(
+            f"BFSR_PRECISION={mode!r}: expected one of "
+            f"{sorted(set(_PREC_NAMES) | {'mixed'})}")
+    return _PREC_NAMES.get(mode, jax.lax.Precision.HIGH)
+
+
 _MODE = _os.environ.get("BFSR_PRECISION", "high")
-_PRECISION = _PREC_NAMES.get(_MODE, jax.lax.Precision.HIGH)
+_PRECISION = _parse_mode(_MODE)
 
 # BFSR_PRECISION=mixed: a per-STAGE policy (r3 verdict #2) — stages whose
 # bf16 output delta measured numerically benign run DEFAULT (single-pass
@@ -54,8 +64,9 @@ def set_default_precision(p):
     """p: jax.lax.Precision or 'default'|'high'|'highest'|'mixed'."""
     global _PRECISION, _MODE
     if isinstance(p, str):
+        precision = _parse_mode(p)
         _MODE = p
-        _PRECISION = _PREC_NAMES.get(p, jax.lax.Precision.HIGH)
+        _PRECISION = precision
     else:
         _MODE = {jax.lax.Precision.DEFAULT: "default",
                  jax.lax.Precision.HIGH: "high",

@@ -45,7 +45,13 @@ class SRFlowLPPredictor:
             elif env in ("on", "1", "true"):
                 use_step_kernel = jax.default_backend() == "tpu"
             else:
-                use_step_kernel = tuple(int(x) for x in env.split(","))
+                try:
+                    use_step_kernel = tuple(int(x) for x in env.split(","))
+                except ValueError:
+                    raise ValueError(
+                        f"BFSR_SRFLOW_STEP_KERNEL={env!r}: expected "
+                        "on|off or a comma-separated list of flow levels "
+                        "(e.g. '2,3')") from None
         # True -> the standalone-win level set; a tuple -> exactly those
         # levels (see BENCH_NOTES r4 for the per-level numbers).
         if use_step_kernel is True:

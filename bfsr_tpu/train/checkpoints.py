@@ -98,7 +98,10 @@ def save_orbax(path, tree):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(os.path.abspath(path), _to_numpy(tree))
+    # force=True: orbax refuses to save onto an existing directory, so a
+    # restart into the same save_path at the same iter cadence would crash
+    # at the first periodic save; match save_checkpoint's atomic overwrite
+    ckptr.save(os.path.abspath(path), _to_numpy(tree), force=True)
 
 
 def restore_orbax(path, template=None):

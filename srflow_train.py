@@ -81,13 +81,27 @@ def _restore_opt_state(saved, optimizer, params, log):
                 == jax.tree_util.tree_structure(fresh)):
             return st
         # orbax restores optax NamedTuples as plain lists: reflow the
-        # leaves into the fresh structure when counts and shapes agree
-        flat = jax.tree_util.tree_leaves(st)
-        flat_f, treedef = jax.tree_util.tree_flatten(fresh)
-        if len(flat) == len(flat_f) and all(
-                getattr(a, "shape", None) == getattr(b, "shape", None)
-                for a, b in zip(flat, flat_f)):
-            return jax.tree_util.tree_unflatten(treedef, flat)
+        # leaves into the fresh structure when the LIST-IFIED key paths
+        # match exactly (matching leaf count+shapes alone would let a
+        # reordered/different chain silently land in the wrong slots —
+        # round-4 advisor)
+        def listify(tree):
+            if hasattr(tree, "_fields"):  # NamedTuple
+                return [listify(x) for x in tree]
+            if isinstance(tree, (list, tuple)):
+                return [listify(x) for x in tree]
+            if isinstance(tree, dict):
+                return {k: listify(v) for k, v in tree.items()}
+            return tree
+
+        flat = jax.tree_util.tree_flatten_with_path(listify(st))[0]
+        flat_l = jax.tree_util.tree_flatten_with_path(listify(fresh))[0]
+        _, treedef = jax.tree_util.tree_flatten(fresh)
+        if (len(flat) == len(flat_l)
+                and all(pa == pb for (pa, _), (pb, _) in zip(flat, flat_l))
+                and all(getattr(a, "shape", None) == getattr(b, "shape", None)
+                        for (_, a), (_, b) in zip(flat, flat_l))):
+            return jax.tree_util.tree_unflatten(treedef, [v for _, v in flat])
         raise ValueError("optimizer state structure changed")
     except Exception as e:  # noqa: BLE001 - degrade to fresh moments
         log(f"could not restore optimizer state ({e}); reinitializing")
@@ -181,10 +195,112 @@ def train_sr(opt, args):
     log("training done")
 
 
+def _maybe_prime_actnorms(model, dev, log, refreeze=False):
+    """Data-dependent actnorm init from the first training batch (reference
+    FlowActNorms.py:45-59: each ActNorm2d whitens its first activations).
+    No-op unless every actnorm still carries the all-zero init — converted
+    checkpoints and resumed runs hold trained stats and are left alone."""
+    from bfsr_tpu.models.srflow import flow_upsampler as fup
+
+    if not fup.actnorms_unprimed(model.params["flow"]):
+        return model.params
+    log("priming actnorms from the first batch (FlowActNorms.py:45-59)")
+    params = model.prime_actnorms(model.params, dev["GT"], dev["LQ"])
+    if refreeze:
+        # frozen-eval callers carry w_inv/anic caches; priming changed the
+        # actnorm halves of the folds
+        params = dict(params)
+        params["flow"] = fup.cache_flow_inverses(params["flow"])
+    return params
+
+
+def train_prior(opt, args):
+    """SRFlow-LP latent-module (prior) training — the path the reference
+    ships only as "coming soon" (SRFlow-LP/README.md:11).  Frozen SRFlow
+    encode on the bilinear LR-up AND on GT, eps standardization as in the
+    eval contract (code/test.py:142-145), two-branch UNet prior, eps-space
+    L1 (+ optional decode-side image L1 at heat 0).  conf: the same
+    SRFlow-LP yml; `model: SRFlowPrior` or the --prior flag selects it."""
+    from bfsr_tpu.pipelines.srflow_prior_train import make_srflow_prior_train_step
+    from srflow_test import load_srflow_model, load_prior_from_conf
+
+    train_opt = opt["train"]
+    niter = args.niter or train_opt["niter"]
+    name = opt.get("name", "srflow") + "-prior"
+    save_path = os.path.join("./save", name)
+    log, writer = set_save_path(save_path)
+    loader = _make_loader(opt)
+
+    # frozen flow: model_path checkpoint when present (random-init smoke
+    # mode otherwise, loudly) + cached inverses/folded affines
+    model = load_srflow_model(opt)
+    prior = load_prior_from_conf(opt)
+
+    start_iter = 0
+    sv = None
+    if (opt.get("path") or {}).get("resume_state") == "auto":
+        newest = ckpt.find_auto_resume(save_path)
+        if newest:
+            sv = ckpt.load_state(newest)
+            prior.load_params(sv["prior_model"]["params"]
+                              if "prior_model" in sv else sv["params"])
+            start_iter = int(sv.get("iter", 0))
+            log(f"auto-resumed from {newest} at iter {start_iter}")
+
+    base_lr = float(train_opt["lr_G"])
+    schedule = _wrap_warmup(_make_schedule(train_opt, niter, base_lr),
+                            train_opt, base_lr)
+    optimizer = optax.adam(schedule, b1=train_opt.get("beta1", 0.9),
+                           b2=train_opt.get("beta2", 0.99))
+    opt_state = _restore_opt_state(sv, optimizer, prior.params, log)
+    step = make_srflow_prior_train_step(
+        model, prior, optimizer,
+        eps_weight=train_opt.get("weight_eps", 1.0) or 0.0,
+        image_weight=train_opt.get("weight_img", 0.0) or 0.0)
+
+    params = prior.params
+    it = start_iter
+    print_freq = (opt.get("logger") or {}).get("print_freq", 100)
+    save_freq = int((opt.get("logger") or {}).get("save_checkpoint_freq", 1000))
+    while it < niter:
+        for batch in loader:
+            if it >= niter:
+                break
+            dev = {"GT": jnp.asarray(batch["GT"]), "LQ": jnp.asarray(batch["LQ"])}
+            if it == start_iter == 0:
+                model.params = _maybe_prime_actnorms(model, dev, log,
+                                                     refreeze=True)
+            params, opt_state, mets = step(params, opt_state, model.params, dev)
+            if it % print_freq == 0:
+                host = jax.device_get(mets)
+                log(f"iter {it}: " + ", ".join(
+                    f"{k}={float(v):.4f}" for k, v in host.items()))
+                writer.add_scalars("train", {k: float(v) for k, v in host.items()}, it)
+            if it and it % save_freq == 0:
+                prior.params = params
+                _save_state(save_path, f"prior_{it + 1}",
+                            {"prior_model": prior.spec(), "params": params,
+                             "iter": it + 1, "opt_state": opt_state},
+                            getattr(args, "orbax", False))
+                ckpt.keep_newest(save_path, "prior_", 2)
+            it += 1
+    prior.params = params
+    # the final pickle is a srflow_test-loadable prior checkpoint
+    # (convert/load.py:load_prior_model reads key 'prior_model')
+    _save_state(save_path, "prior_latest",
+                {"prior_model": prior.spec(), "params": params, "iter": it,
+                 "opt_state": opt_state}, getattr(args, "orbax", False),
+                final=True)
+    log("training done")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("conf")
     parser.add_argument("--niter", type=int, default=None)
+    parser.add_argument("--prior", action="store_true",
+                        help="train the SRFlow-LP latent module (prior) on "
+                             "a frozen flow instead of the base NLL path")
     parser.add_argument("--orbax", action="store_true",
                         help="periodic saves via orbax async-array "
                              "checkpointing (final save stays pickle)")
@@ -194,6 +310,9 @@ def main():
 
     if opt.get("model") == "sr":
         return train_sr(opt, args)
+    if args.prior or str(opt.get("model", "")).lower() in ("srflowprior",
+                                                           "srflow-prior"):
+        return train_prior(opt, args)
 
     train_opt = opt["train"]
     niter = args.niter or train_opt["niter"]
@@ -266,6 +385,9 @@ def main():
                 break
             key, sub = jax.random.split(key)
             dev = {"GT": jnp.asarray(batch["GT"]), "LQ": jnp.asarray(batch["LQ"])}
+            if it == start_iter == 0:
+                params = _maybe_prime_actnorms(model, dev, log)
+                model.params = params
             step = (step_frozen if step_frozen is not None and it < unfreeze
                     else step_live)
             params, opt_state, mets = step(params, opt_state, dev, sub,
