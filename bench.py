@@ -634,6 +634,33 @@ def run_train_bench(which, iters=10, rounds=3):
         return {"linf_ms_per_step": round(ms, 2),
                 "steps_per_s": round(1e3 / ms, 1)}
 
+    if which == "srflow-prior":
+        from bfsr_tpu.pipelines.srflow_prior_train import (
+            make_srflow_prior_train_step,
+        )
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            model = registry.make({"name": "srflow",
+                                   "args": dict(_SRFLOW_ARGS)})
+            model.freeze()
+            prior = registry.make({"name": "srflow-unet", "args": {}})
+        dev = jax.devices()[0]
+        model.params = jax.device_put(model.params, dev)
+        prior.params = jax.device_put(prior.params, dev)
+        optimizer = optax.adam(2.5e-4)
+        step0 = make_srflow_prior_train_step(model, prior, optimizer,
+                                             eps_weight=1.0,
+                                             image_weight=1.0)
+        B, G = 12, 160
+        batch = {"GT": jnp.asarray(rng.random((B, G, G, 3),
+                                              dtype=np.float32)),
+                 "LQ": jnp.asarray(rng.random((B, G // 4, G // 4, 3),
+                                              dtype=np.float32))}
+        ms = time_step(lambda p, o, b: step0(p, o, model.params, b),
+                       prior.params, optimizer.init(prior.params), batch, ())
+        return {"srflow_prior_ms_per_step": round(ms, 1),
+                "steps_per_s": round(1e3 / ms, 2)}
+
     from bfsr_tpu.pipelines.srflow_train import make_srflow_train_step
 
     with jax.default_device(jax.devices("cpu")[0]):
@@ -674,15 +701,19 @@ def main():
     parser.add_argument("--precision-delta", choices=["linf", "srflow"],
                         help="measure serving-mode (bf16) vs HIGH output "
                              "delta for the given pipeline")
-    parser.add_argument("--train", choices=["linf", "srflow"],
+    parser.add_argument("--train", choices=["linf", "srflow",
+                                            "srflow-prior"],
                         help="training-step throughput line (reference "
-                             "configs: LINF latent b16/48^2, SRFlow b12/GT160)")
+                             "configs: LINF latent b16/48^2, SRFlow "
+                             "b12/GT160; srflow-prior: frozen full-size "
+                             "flow + two-branch UNet, b12/GT160)")
     args = parser.parse_args()
 
     if args.train:
         res = run_train_bench(args.train)
-        key = ("linf_ms_per_step" if args.train == "linf"
-               else "srflow_frozen_ms_per_step")
+        key = {"linf": "linf_ms_per_step",
+               "srflow": "srflow_frozen_ms_per_step",
+               "srflow-prior": "srflow_prior_ms_per_step"}[args.train]
         print(json.dumps(dict({
             "metric": f"{args.train}_train_ms_per_step",
             "value": res[key],

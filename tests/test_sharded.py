@@ -272,3 +272,41 @@ def test_srflow_spatial_predict_matches_single(rng):
                             jnp.asarray(lr[None], jnp.float32))
                .compile().as_text())
     assert "collective-permute" in hlo
+
+
+def test_srflow_prior_dp_train_step_matches_single(rng):
+    """dp-sharded SRFlow-LP prior train step == unsharded step (same
+    batch): the new latent-module trainer joins the multi-device story.
+    BN batch stats are computed on logical (global-batch) shapes under
+    GSPMD, so sharding cannot change them."""
+    import optax
+
+    from bfsr_tpu.parallel.mesh import shard_batch, batch_specs_srflow
+    from bfsr_tpu.pipelines.srflow_prior_train import (
+        make_srflow_prior_train_step,
+    )
+
+    m = _tiny_srflow()
+    m.freeze()
+    prior = registry.make({"name": "srflow-unet", "args": {"depth": 2,
+                                                           "dim": 8}})
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(prior.params)
+    step = make_srflow_prior_train_step(m, prior, optimizer, eps_weight=1.0,
+                                        image_weight=1.0)
+    batch_np = {"GT": rng.random((8, 32, 32, 3)).astype(np.float32),
+                "LQ": rng.random((8, 8, 8, 3)).astype(np.float32)}
+    dev_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    p_ref, _, mets_ref = step(prior.params, opt_state, m.params, dev_batch)
+
+    mesh = make_mesh({"dp": 8})
+    with mesh:
+        sharded = shard_batch(batch_np, mesh, batch_specs_srflow())
+        p_sh, _, mets_sh = step(replicate(prior.params, mesh),
+                                replicate(opt_state, mesh),
+                                replicate(m.params, mesh), sharded)
+    np.testing.assert_allclose(float(mets_sh["loss"]), float(mets_ref["loss"]),
+                               rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-3)
