@@ -74,10 +74,45 @@ def set_default_precision(p):
         _PRECISION = p
 
 
+# 2-pass bf16 sentinel (hi@hi + hi@lo: keeps the weights' low bits, drops
+# the activations') — a middle precision point between DEFAULT (1-pass,
+# ~158 TF/s) and HIGH (3-pass, ~60 TF/s).  Usable as a MIXED_POLICY stage
+# value; conv2d/linear/conv3x3_y3 implement it, raw-einsum call sites map
+# it to HIGH via default_precision().
+TWO_PASS = "two_pass"
+
+
 def default_precision():
+    """Stage-resolved jax.lax.Precision for raw einsum/lax call sites
+    (the TWO_PASS sentinel degrades to HIGH here — only the ops below
+    implement the explicit 2-pass split)."""
+    p = stage_precision()
+    return jax.lax.Precision.HIGH if p == TWO_PASS else p
+
+
+def stage_precision():
+    """Stage-resolved precision, possibly the TWO_PASS sentinel."""
     if _MODE == "mixed":
         return MIXED_POLICY.get(_STAGE, jax.lax.Precision.HIGH)
     return _PRECISION
+
+
+def default_passes():
+    """bf16 pass count for the Pallas s2d kernels under the current
+    stage policy: 1 (DEFAULT), 2 (TWO_PASS), 3 (HIGH/HIGHEST)."""
+    p = stage_precision()
+    if p == TWO_PASS:
+        return 2
+    return 1 if p == jax.lax.Precision.DEFAULT else 3
+
+
+def _two_pass(f, x, w):
+    """Evaluate the bilinear op ``f(x, w)`` (f must run its dot at DEFAULT
+    precision with f32 accumulation) as hi@hi + hi@lo."""
+    xh = x.astype(jnp.bfloat16)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w.astype(jnp.float32) - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return f(xh, wh) + f(xh, wl)
 
 
 class stage:
@@ -105,18 +140,22 @@ def conv2d(x, p, stride=1, padding="SAME", dilation=1, precision=None):
         dilation = (dilation, dilation)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
-    y = jax.lax.conv_general_dilated(
-        x,
-        p["w"],
-        window_strides=stride,
-        padding=padding,
-        rhs_dilation=dilation,
-        dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
-        # default_precision() (not the module _PRECISION) so the mixed
-        # per-stage policy reaches every conv at trace time
-        precision=precision or default_precision(),
-    )
+
+    # stage_precision() (not the module _PRECISION) so the mixed
+    # per-stage policy reaches every conv at trace time
+    prec = precision or stage_precision()
+
+    def _conv(xx, ww, pr):
+        return jax.lax.conv_general_dilated(
+            xx, ww, window_strides=stride, padding=padding,
+            rhs_dilation=dilation, dimension_numbers=_DIMNUMS,
+            preferred_element_type=jnp.float32, precision=pr)
+
+    if prec == TWO_PASS:
+        y = _two_pass(lambda a, b: _conv(a, b, jax.lax.Precision.DEFAULT),
+                      x, p["w"])
+    else:
+        y = _conv(x, p["w"], prec)
     if "b" in p and p["b"] is not None:
         y = y + p["b"]
     return y.astype(x.dtype)
@@ -133,18 +172,34 @@ def conv3x3_y3(x, w):
     pads = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     colsy = jnp.concatenate([pads[:, dy:dy + h] for dy in range(3)], -1)
     k = w.transpose(1, 0, 2, 3).reshape(3, 3 * c, w.shape[-1])  # (dx, 3C, N)
+    prec = stage_precision()
+
+    def _dot(a, b, pr):
+        return jnp.einsum("bhwc,co->bhwo", a, b,
+                          preferred_element_type=jnp.float32, precision=pr)
+
     acc = None
     for dx in range(3):
-        y = jnp.einsum("bhwc,co->bhwo", colsy[:, :, dx:dx + wd], k[dx],
-                       preferred_element_type=jnp.float32,
-                       precision=default_precision())
+        xs = colsy[:, :, dx:dx + wd]
+        if prec == TWO_PASS:
+            y = _two_pass(lambda a, b: _dot(a, b, jax.lax.Precision.DEFAULT),
+                          xs, k[dx])
+        else:
+            y = _dot(xs, k[dx], prec)
         acc = y if acc is None else acc + y
     return acc
 
 
 def linear(x, p, precision=None):
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32,
-                precision=precision or default_precision())
+    prec = precision or stage_precision()
+    if prec == TWO_PASS:
+        y = _two_pass(
+            lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.DEFAULT),
+            x, p["w"])
+    else:
+        y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32,
+                    precision=prec)
     if "b" in p and p["b"] is not None:
         y = y + p["b"]
     return y.astype(x.dtype)

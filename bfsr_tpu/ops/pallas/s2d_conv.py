@@ -157,9 +157,10 @@ def _kernel(n_in, T, Wc, m, act, slope, passes, *refs):
             v = win[dy:dy + T, 7 + dx:7 + dx + Wc, :].reshape(T * Wc, ci)
             vh = v.astype(jnp.bfloat16)
             acc += jnp.dot(vh, wh[k][t], preferred_element_type=jnp.float32)
-            if passes == 3:
-                vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+            if passes >= 2:  # hi@lo: the weights' low bits
                 acc += jnp.dot(vh, wl[k][t], preferred_element_type=jnp.float32)
+            if passes == 3:  # lo@hi: the activations' low bits
+                vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
                 acc += jnp.dot(vl, wh[k][t], preferred_element_type=jnp.float32)
 
     y = acc * sb[0] + sb[1]
@@ -204,8 +205,8 @@ def conv3x3_s2d(inputs, weights, scale=None, bias=None, act=None, slope=0.2,
     if passes is None:
         from bfsr_tpu.ops import nn as fnn
 
-        passes = (1 if fnn.default_precision() == jax.lax.Precision.DEFAULT
-                  else 3)
+        # 1 under DEFAULT, 2 under the TWO_PASS stage policy, 3 at HIGH+
+        passes = fnn.default_passes()
     n_in = len(inputs)
     if inputs[0].ndim == 3:
         Hs, Ws = inputs[0].shape[0] - 2, inputs[0].shape[1] - 16

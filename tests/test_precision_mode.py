@@ -269,3 +269,47 @@ def test_conv_linear_consume_stage_policy(rng, restore_precision):
     finally:
         fnn.MIXED_POLICY.clear()
         fnn.MIXED_POLICY.update(saved)
+
+
+def test_two_pass_stage_policy(rng, restore_precision):
+    """TWO_PASS as a MIXED_POLICY value: conv2d/linear/conv3x3_y3 compute
+    the explicit hi@hi + hi@lo split (error ~ activations' bf16 rounding,
+    far below 1-pass); raw-einsum call sites degrade it to HIGH via
+    default_precision(); the Pallas pass count resolves to 2."""
+    x = jnp.asarray(rng.random((1, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray((rng.random((3, 3, 16, 8)) - 0.5).astype(np.float32))
+    p = {"w": w}
+    hi = fnn.conv2d(x, p, precision=jax.lax.Precision.HIGHEST)
+
+    saved = dict(fnn.MIXED_POLICY)
+    try:
+        fnn.MIXED_POLICY.clear()
+        fnn.MIXED_POLICY["cond"] = fnn.TWO_PASS
+        fnn.set_default_precision("mixed")
+        with fnn.stage("cond"):
+            assert fnn.stage_precision() == fnn.TWO_PASS
+            assert fnn.default_precision() == jax.lax.Precision.HIGH
+            assert fnn.default_passes() == 2
+            tp_conv = fnn.conv2d(x, p)
+            tp_y3 = fnn.conv3x3_y3(x, w)
+            tp_lin = fnn.linear(x.reshape(-1, 16), {"w": w[0, 0]})
+        # outside the scope the policy falls back to HIGH / 3 passes
+        assert fnn.default_passes() == 3
+        out_conv = fnn.conv2d(x, p)
+    finally:
+        fnn.MIXED_POLICY.clear()
+        fnn.MIXED_POLICY.update(saved)
+
+    # 2-pass keeps the weights' low bits; the remaining error is the
+    # activations' bf16 rounding (~2^-9 relative)
+    rel = float(jnp.max(jnp.abs(tp_conv - hi)) / jnp.max(jnp.abs(hi)))
+    assert 0 < rel < 2e-2, rel
+    np.testing.assert_allclose(np.asarray(tp_y3), np.asarray(tp_conv),
+                               atol=1e-5)
+    hi_lin = fnn.linear(x.reshape(-1, 16), {"w": w[0, 0]},
+                        precision=jax.lax.Precision.HIGHEST)
+    rel_l = float(jnp.max(jnp.abs(tp_lin - hi_lin))
+                  / jnp.max(jnp.abs(hi_lin)))
+    assert 0 < rel_l < 2e-2, rel_l
+    np.testing.assert_allclose(np.asarray(out_conv), np.asarray(hi),
+                               atol=1e-5)
