@@ -62,6 +62,14 @@ def trunk_flops_analytic(nf=64, gc=32, nb=23, h=H, w=W, b=B):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    # the per-stage vjp programs leave HBM fragmented enough that the
+    # unfrozen full-step compile OOMs in the same process: run the parts
+    # in separate processes (--part stages, then --part totals)
+    ap.add_argument("--part", choices=["stages", "totals", "all"],
+                    default="all")
+    cli = ap.parse_args()
     rng = np.random.default_rng(0)
 
     with jax.default_device(jax.devices("cpu")[0]):
@@ -102,43 +110,49 @@ def main():
         rows.append((name, ms_f, gf_f, ms_b, gf_b))
 
     # --- per-stage fwd/bwd: the three stages of the SRFlow NLL step ---
-    stage("RRDB preprocess", lambda p, x: model.preprocess(p, x),
-          (params, lq), vjp_wrt=True,
-          fwd_gf=trunk_fwd_gf,           # scan body counted once
-          bwd_gf=3.0 * trunk_fwd_gf)     # 2x grads + 1x remat recompute
+    if cli.part in ("stages", "all"):
+        stage("RRDB preprocess", lambda p, x: model.preprocess(p, x),
+              (params, lq), vjp_wrt=True,
+              fwd_gf=trunk_fwd_gf,         # scan body counted once
+              bwd_gf=3.0 * trunk_fwd_gf)   # 2x grads + 1x remat recompute
 
-    lr_enc = jax.jit(lambda p, x: model.preprocess(p, x))(params, lq)
-    lr_enc = jax.tree_util.tree_map(jax.lax.stop_gradient, lr_enc)
-    stage("precompute_ft", lambda p, e: model.precompute_ft(p, e),
-          (params, lr_enc), vjp_wrt=True)
+        lr_enc = jax.jit(lambda p, x: model.preprocess(p, x))(params, lq)
+        lr_enc = jax.tree_util.tree_map(jax.lax.stop_gradient, lr_enc)
+        stage("precompute_ft", lambda p, e: model.precompute_ft(p, e),
+              (params, lr_enc), vjp_wrt=True)
 
-    ft_cache = jax.jit(lambda p, e: model.precompute_ft(p, e))(params, lr_enc)
+        ft_cache = jax.jit(lambda p, e: model.precompute_ft(p, e))(
+            params, lr_enc)
 
-    def encode_nll(p, g, e, fc):
-        _, nll, _ = model.normal_flow(p, g, None, key=jax.random.PRNGKey(0),
-                                      add_gt_noise=True, lr_enc=e,
-                                      ft_cache=fc)
-        return jnp.mean(nll)
+        def encode_nll(p, g, e, fc):
+            _, nll, _ = model.normal_flow(p, g, None,
+                                          key=jax.random.PRNGKey(0),
+                                          add_gt_noise=True, lr_enc=e,
+                                          ft_cache=fc)
+            return jnp.mean(nll)
 
-    stage("normal_flow+nll", encode_nll, (params, gt, lr_enc, ft_cache),
-          vjp_wrt=True)
+        stage("normal_flow+nll", encode_nll, (params, gt, lr_enc, ft_cache),
+              vjp_wrt=True)
 
-    print(f"\nSRFlow NLL step stages (b{B}, GT {G}, HIGH):")
-    print(f"{'stage':<18}{'fwd ms':>8}{'fwd GF':>9}{'fwd TF/s':>9}"
-          f"{'bwd ms':>8}{'bwd GF':>9}{'bwd TF/s':>9}{'x floor':>9}")
-    tms = tgf = 0.0
-    for name, ms_f, gf_f, ms_b, gf_b in rows:
-        tf_f = gf_f / ms_f
-        tf_b = (gf_b / ms_b) if ms_b else 0.0
-        tot = ms_f + (ms_b or 0.0)
-        fl = (gf_f + (gf_b or 0.0)) / (HIGH_TFS / 1e9) * 1e3
-        print(f"{name:<18}{ms_f:>8.1f}{gf_f:>9.0f}{tf_f:>9.1f}"
-              f"{ms_b if ms_b else 0:>8.1f}{gf_b if gf_b else 0:>9.0f}"
-              f"{tf_b:>9.1f}{tot / fl if fl else 0:>9.2f}")
-        tms += tot
-        tgf += gf_f + (gf_b or 0.0)
-    print(f"{'SUM':<18}{tms:>8.1f}{tgf:>9.0f}"
-          f"{tgf / tms:>9.1f}  (x floor {tms / (tgf / 60):>5.2f})")
+        print(f"\nSRFlow NLL step stages (b{B}, GT {G}, HIGH):")
+        print(f"{'stage':<18}{'fwd ms':>8}{'fwd GF':>9}{'fwd TF/s':>9}"
+              f"{'bwd ms':>8}{'bwd GF':>9}{'bwd TF/s':>9}{'x floor':>9}")
+        tms = tgf = 0.0
+        for name, ms_f, gf_f, ms_b, gf_b in rows:
+            tf_f = gf_f / ms_f
+            tf_b = (gf_b / ms_b) if ms_b else 0.0
+            tot = ms_f + (ms_b or 0.0)
+            fl = (gf_f + (gf_b or 0.0)) / (HIGH_TFS / 1e9) * 1e3
+            print(f"{name:<18}{ms_f:>8.1f}{gf_f:>9.0f}{tf_f:>9.1f}"
+                  f"{ms_b if ms_b else 0:>8.1f}{gf_b if gf_b else 0:>9.0f}"
+                  f"{tf_b:>9.1f}{tot / fl if fl else 0:>9.2f}")
+            tms += tot
+            tgf += gf_f + (gf_b or 0.0)
+        print(f"{'SUM':<18}{tms:>8.1f}{tgf:>9.0f}"
+              f"{tgf / tms:>9.1f}  (x floor {tms / (tgf / 60):>5.2f})")
+
+    if cli.part == "stages":
+        return
 
     # --- step totals for all four trainers ---
     from bfsr_tpu.pipelines.srflow_train import make_srflow_train_step
