@@ -192,5 +192,120 @@ def main():
     print(f"  srflow prior          {ms:7.1f} ms/step")
 
 
+def linf_part(shape="bench"):
+    """Per-stage fwd/bwd decomposition of the LINF latent train step
+    (latent-L1 loss).  shape='bench': b16, 48^2 LR, x2 (the bench
+    --train linf program); shape='ref': b16, 32^2 LR, x4 — the reference
+    LP train config's worst-case scale (train_edsr-baseline-linf-LP.yaml:
+    inp_size 32, scale_max 4; scales are sampled <=4, so x4 is the
+    per-step cost ceiling)."""
+    rng = np.random.default_rng(0)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _flagship
+    from bfsr_tpu.utils.coords import make_cell, make_coord_np
+
+    Bl, h, scale = (16, 32, 4) if shape == "ref" else (16, 48, 2)
+    Hh = h * scale
+    with jax.default_device(jax.devices("cpu")[0]):
+        model, _ = _flagship()
+        prior = registry.make({"name": "unet", "args": {
+            "in_chans": 3, "depth": 3, "dim": 64, "bilinear": True}})
+    dev = jax.devices()[0]
+    lp = jax.device_put(model.params, dev)
+    pp = jax.device_put(prior.params, dev)
+    inp = jnp.asarray(rng.random((Bl, h, h, 3), dtype=np.float32) - 0.5)
+    coord = jnp.broadcast_to(
+        jnp.asarray(make_coord_np((Hh, Hh), flatten=False))[None],
+        (Bl, Hh, Hh, 2))
+    cell = jnp.broadcast_to(jnp.asarray(make_cell((Hh, Hh)))[None], (Bl, 2))
+    gt = jnp.asarray(rng.random((Bl, Hh, Hh, 3), dtype=np.float32) - 0.5)
+
+    rows = []
+
+    def add(name, fn, args, vjp_argnum=None):
+        print(f"[stage] {name} ...", flush=True)
+        jf = jax.jit(fn)
+        ms_f = timeit(jf, *args)
+        gf = cost(jf, *args) / 1e9
+        print(f"  fwd {ms_f:.2f} ms, {gf:.1f} GF", flush=True)
+        ms_b = None
+        if vjp_argnum is not None:
+            def vjp_once(*a):
+                prefix = a[:vjp_argnum]
+                suffix = a[vjp_argnum + 1:]
+                y, pull = jax.vjp(
+                    lambda v: fn(*prefix, v, *suffix), a[vjp_argnum])
+                return pull(jax.tree_util.tree_map(jnp.ones_like, y))
+
+            jb = jax.jit(vjp_once)
+            ms_b = timeit(jb, *args) - ms_f
+            print(f"  bwd {ms_b:.2f} ms", flush=True)
+        rows.append((name, ms_f, gf, ms_b))
+
+    if shape == "bench":
+        add("gen_feat (frozen)", lambda p, x: model.gen_feat(p, x), (lp, inp))
+        feat = jax.jit(lambda p, x: model.gen_feat(p, x))(lp, inp)
+        add("query_log_p x2 (frozen)",
+            lambda p, x, f, c, cl, g: model.query_log_p(p, x, f, c, cl, g)[1],
+            (lp, inp, feat, coord, cell, gt))
+        z_lr = jax.jit(
+            lambda p, x, f, c, cl, g: model.query_log_p(p, x, f, c, cl, g)[1]
+        )(lp, inp, feat, coord, cell, gt)
+        add("prior UNet (fwd+bwd)",
+            lambda q, z, x: prior.apply(q, z, x, training=True)[0],
+            (pp, z_lr, inp), vjp_argnum=0)
+        z_learned = jax.jit(
+            lambda q, z, x: prior.apply(q, z, x, training=True)[0]
+        )(pp, z_lr, inp)
+        add("flow inverse (query_rgb, bwd wrt z)",
+            lambda p, x, f, c, cl, z: model.query_rgb(p, x, f, c, cl, zmap=z),
+            (lp, inp, feat, coord, cell, z_learned), vjp_argnum=5)
+
+        print(f"\nLINF latent step stages (b{Bl}, {h}^2 LR x{scale}, HIGH):")
+        print(f"{'stage':<36}{'fwd ms':>8}{'GF':>7}{'TF/s':>7}{'bwd ms':>8}")
+        for name, ms_f, gf, ms_b in rows:
+            print(f"{name:<36}{ms_f:>8.2f}{gf:>7.1f}{gf / ms_f:>7.1f}"
+                  f"{ms_b if ms_b else 0:>8.2f}")
+        # query_log_p runs twice per step (lr_up target + gt_pixel target)
+        tot = sum(r[1] + (r[3] or 0.0) for r in rows) + rows[1][1]
+        print(f"sum (query_log_p counted twice): {tot:.1f} ms "
+              f"(bench --train linf total includes Adam + BN glue)")
+
+    # the FUSED production step (bench --train linf recipe: latent-L1
+    # only, so no flow inverse) in the same process — its cost_analysis
+    # GF counts the shared per-query affine-parameter work ONCE, which
+    # the standalone stages above each recompute
+    from bfsr_tpu.pipelines.linf_train import make_train_step
+
+    optimizer = optax.adam(1e-4)
+    step0 = make_train_step(model, prior, None, optimizer,
+                            vgg_weight=0.0, latent_weight=1.0)
+    batch = {"inp": inp + 0.5, "coord": coord, "cell": cell,
+             "gt_lr_up": gt, "gt_pixel": gt}
+    o0 = optimizer.init(pp)
+    print("[stage] fused step (latent-L1) ...", flush=True)
+
+    def stepfn(p, o, b):
+        return step0(p, o, lp, {}, b)
+
+    js = jax.jit(stepfn)
+    ms_s = timeit(js, pp, o0, batch)
+    gf_s = cost(js, pp, o0, batch) / 1e9
+    print(f"fused step (b{Bl}, {h}^2 LR x{scale}): {ms_s:.2f} ms, "
+          f"{gf_s:.1f} GF logical -> {gf_s / ms_s:.1f} TF/s "
+          f"({gf_s / ms_s / 60:.0%} of the ~60 TF/s HIGH roofline)")
+    if rows:
+        sum_nofi = sum(r[1] + (r[3] or 0.0) for r in rows[:3]) + rows[1][1]
+        print(f"standalone sum of the SAME stages (no inverse): "
+              f"{sum_nofi:.1f} ms -> fusion + shared-affine elision buys "
+              f"{sum_nofi / ms_s:.1f}x")
+
+
 if __name__ == "__main__":
-    main()
+    if "--part" in sys.argv and \
+            sys.argv[sys.argv.index("--part") + 1].startswith("linf"):
+        part = sys.argv[sys.argv.index("--part") + 1]
+        linf_part(shape="ref" if part == "linfref" else "bench")
+    else:
+        main()
