@@ -74,20 +74,26 @@ def set_default_precision(p):
         _PRECISION = p
 
 
-# 2-pass bf16 sentinel (hi@hi + hi@lo: keeps the weights' low bits, drops
-# the activations') — a middle precision point between DEFAULT (1-pass,
-# ~158 TF/s) and HIGH (3-pass, ~60 TF/s).  Usable as a MIXED_POLICY stage
-# value; conv2d/linear/conv3x3_y3 implement it, raw-einsum call sites map
-# it to HIGH via default_precision().
+# 2-pass bf16 sentinels — middle precision points between DEFAULT
+# (1-pass, ~158 TF/s) and HIGH (3-pass, ~60 TF/s).  Usable as
+# MIXED_POLICY stage values; conv2d/linear/conv3x3_y3 implement them,
+# raw-einsum call sites map them to HIGH via default_precision().
+#   TWO_PASS     = hi@hi + hi@lo: keeps the WEIGHTS' low bits, drops the
+#                  activations' (r5 probe: the dropped activation bits
+#                  dominated the SRFlow conditioning error — refuted)
+#   TWO_PASS_ACT = hi@hi + lo@hi: the complementary split — keeps the
+#                  ACTIVATIONS' low bits, drops the weights'
 TWO_PASS = "two_pass"
+TWO_PASS_ACT = "two_pass_act"
+_TWO_PASS_SET = (TWO_PASS, TWO_PASS_ACT)
 
 
 def default_precision():
     """Stage-resolved jax.lax.Precision for raw einsum/lax call sites
-    (the TWO_PASS sentinel degrades to HIGH here — only the ops below
-    implement the explicit 2-pass split)."""
+    (the TWO_PASS sentinels degrade to HIGH here — only the ops below
+    implement the explicit 2-pass splits)."""
     p = stage_precision()
-    return jax.lax.Precision.HIGH if p == TWO_PASS else p
+    return jax.lax.Precision.HIGH if p in _TWO_PASS_SET else p
 
 
 def stage_precision():
@@ -99,18 +105,27 @@ def stage_precision():
 
 def default_passes():
     """bf16 pass count for the Pallas s2d kernels under the current
-    stage policy: 1 (DEFAULT), 2 (TWO_PASS), 3 (HIGH/HIGHEST)."""
+    stage policy: 1 (DEFAULT), 2 (TWO_PASS), 3 (HIGH/HIGHEST).
+    TWO_PASS_ACT maps to 3: the kernels' 2-pass form is the
+    weight-keeping split, which would silently invert the sentinel's
+    semantics — stay exact instead."""
     p = stage_precision()
     if p == TWO_PASS:
         return 2
     return 1 if p == jax.lax.Precision.DEFAULT else 3
 
 
-def _two_pass(f, x, w):
+def _two_pass(f, x, w, which=TWO_PASS):
     """Evaluate the bilinear op ``f(x, w)`` (f must run its dot at DEFAULT
-    precision with f32 accumulation) as hi@hi + hi@lo."""
+    precision with f32 accumulation) as hi@hi + hi@lo (TWO_PASS: keep the
+    weights' low bits) or hi@hi + lo@hi (TWO_PASS_ACT: keep the
+    activations')."""
     xh = x.astype(jnp.bfloat16)
     wh = w.astype(jnp.bfloat16)
+    if which == TWO_PASS_ACT:
+        xl = (x.astype(jnp.float32) - xh.astype(jnp.float32)
+              ).astype(jnp.bfloat16)
+        return f(xh, wh) + f(xl, wh)
     wl = (w.astype(jnp.float32) - wh.astype(jnp.float32)).astype(jnp.bfloat16)
     return f(xh, wh) + f(xh, wl)
 
@@ -151,9 +166,9 @@ def conv2d(x, p, stride=1, padding="SAME", dilation=1, precision=None):
             rhs_dilation=dilation, dimension_numbers=_DIMNUMS,
             preferred_element_type=jnp.float32, precision=pr)
 
-    if prec == TWO_PASS:
+    if prec in _TWO_PASS_SET:
         y = _two_pass(lambda a, b: _conv(a, b, jax.lax.Precision.DEFAULT),
-                      x, p["w"])
+                      x, p["w"], which=prec)
     else:
         y = _conv(x, p["w"], prec)
     if "b" in p and p["b"] is not None:
@@ -181,9 +196,9 @@ def conv3x3_y3(x, w):
     acc = None
     for dx in range(3):
         xs = colsy[:, :, dx:dx + wd]
-        if prec == TWO_PASS:
+        if prec in _TWO_PASS_SET:
             y = _two_pass(lambda a, b: _dot(a, b, jax.lax.Precision.DEFAULT),
-                          xs, k[dx])
+                          xs, k[dx], which=prec)
         else:
             y = _dot(xs, k[dx], prec)
         acc = y if acc is None else acc + y
@@ -192,11 +207,11 @@ def conv3x3_y3(x, w):
 
 def linear(x, p, precision=None):
     prec = precision or stage_precision()
-    if prec == TWO_PASS:
+    if prec in _TWO_PASS_SET:
         y = _two_pass(
             lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.DEFAULT),
-            x, p["w"])
+            x, p["w"], which=prec)
     else:
         y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32,
                     precision=prec)

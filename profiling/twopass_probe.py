@@ -54,6 +54,13 @@ MODES = {
               "prior": jax.lax.Precision.DEFAULT},
     "cond2b": {"trunk": fnn.TWO_PASS, "ft": fnn.TWO_PASS,
                "prior": jax.lax.Precision.DEFAULT},
+    # the complementary split (keep the ACTIVATIONS' low bits, drop the
+    # weights') — the cond2 refutation diagnosed the dropped activation
+    # bits as the dominant error term, so this one should recover most
+    # of the 3-pass fidelity at the same 2-pass cost
+    "cond2a": {"trunk": fnn.TWO_PASS_ACT, "ft": fnn.TWO_PASS_ACT,
+               "flows": fnn.TWO_PASS_ACT,
+               "prior": jax.lax.Precision.DEFAULT},
 }
 
 
@@ -86,6 +93,19 @@ def build_impl(model, prior):
 def main():
     from bench import _SRFLOW_ARGS, _dezero, _balance_flow
 
+    # --modes high,serving,cond2a limits which pipelines compile (each
+    # mode is a full fresh SRFlow compile — minutes each when the remote
+    # compile service is slow)
+    modes = dict(MODES)
+    if "--modes" in sys.argv:
+        sel = sys.argv[sys.argv.index("--modes") + 1].split(",")
+        unknown = [m for m in sel if m not in MODES]
+        if unknown:
+            raise SystemExit(f"unknown modes {unknown}; have {list(MODES)}")
+        if "high" not in sel:
+            sel.insert(0, "high")  # the dB reference is always needed
+        modes = {k: MODES[k] for k in sel}
+
     with jax.default_device(jax.devices("cpu")[0]):
         model = registry.make({"name": "srflow",
                                "args": dict(_SRFLOW_ARGS)})
@@ -102,7 +122,7 @@ def main():
     lr = jnp.asarray(rng.random((1, LR, LR, 3)).astype(np.float32))
 
     fns, outs = {}, {}
-    for name, policy in MODES.items():
+    for name, policy in modes.items():
         fnn.MIXED_POLICY.clear()
         fnn.MIXED_POLICY.update(policy)
         fnn.set_default_precision("mixed" if policy else "high")

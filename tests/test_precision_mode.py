@@ -313,3 +313,54 @@ def test_two_pass_stage_policy(rng, restore_precision):
     assert 0 < rel_l < 2e-2, rel_l
     np.testing.assert_allclose(np.asarray(out_conv), np.asarray(hi),
                                atol=1e-5)
+
+
+def test_two_pass_act_stage_policy(rng, restore_precision):
+    """TWO_PASS_ACT (hi@hi + lo@hi — keep the ACTIVATIONS' low bits, drop
+    the weights'): the complementary split to TWO_PASS.  Discriminating
+    case: with bf16-exact weights the act-split is exact (its only
+    dropped term is xh@wl = 0) while TWO_PASS still carries the
+    activations' rounding error.  Raw-einsum sites degrade to HIGH; the
+    Pallas pass count maps to 3 (the kernels' 2-pass form is the
+    weight-keeping split — wrong semantics for this sentinel)."""
+    x = jnp.asarray(rng.random((1, 8, 8, 16)).astype(np.float32))
+    w_exact = jnp.asarray(
+        (rng.random((3, 3, 16, 8)) - 0.5).astype(np.float32)
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    p = {"w": w_exact}
+    hi = fnn.conv2d(x, p, precision=jax.lax.Precision.HIGHEST)
+
+    saved = dict(fnn.MIXED_POLICY)
+    try:
+        fnn.MIXED_POLICY.clear()
+        fnn.MIXED_POLICY["cond"] = fnn.TWO_PASS_ACT
+        fnn.set_default_precision("mixed")
+        with fnn.stage("cond"):
+            assert fnn.stage_precision() == fnn.TWO_PASS_ACT
+            assert fnn.default_precision() == jax.lax.Precision.HIGH
+            assert fnn.default_passes() == 3
+            act_conv = fnn.conv2d(x, p)
+            act_y3 = fnn.conv3x3_y3(x, w_exact)
+            act_lin = fnn.linear(x.reshape(-1, 16), {"w": w_exact[0, 0]})
+        fnn.MIXED_POLICY["cond"] = fnn.TWO_PASS
+        with fnn.stage("cond"):
+            wt_conv = fnn.conv2d(x, p)
+    finally:
+        fnn.MIXED_POLICY.clear()
+        fnn.MIXED_POLICY.update(saved)
+
+    # act-split error on bf16-exact weights is SECOND order (~2^-18: the
+    # only dropped terms are xh@wl = 0 and the bf16 rounding of the
+    # residual xl) — the weight-keeping split's error stays FIRST order
+    # (~2^-9: it drops xl@wh entirely)
+    rel_act = float(jnp.max(jnp.abs(act_conv - hi)) / jnp.max(jnp.abs(hi)))
+    rel_wt = float(jnp.max(jnp.abs(wt_conv - hi)) / jnp.max(jnp.abs(hi)))
+    assert rel_act < 1e-3, rel_act
+    assert rel_wt > 5 * rel_act, (rel_wt, rel_act)
+    np.testing.assert_allclose(np.asarray(act_y3), np.asarray(act_conv),
+                               atol=1e-5)
+    hi_lin = fnn.linear(x.reshape(-1, 16), {"w": w_exact[0, 0]},
+                        precision=jax.lax.Precision.HIGHEST)
+    rel_lin = float(jnp.max(jnp.abs(act_lin - hi_lin))
+                    / jnp.max(jnp.abs(hi_lin)))
+    assert rel_lin < 1e-3, rel_lin
