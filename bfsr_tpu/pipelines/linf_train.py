@@ -21,9 +21,16 @@ from bfsr_tpu.pipelines.losses import l1_loss as l1
 
 def make_train_step(linf_model, prior_model, vgg_model, optimizer,
                     vgg_weight=1.0, latent_weight=0.0, data_norm=None,
-                    patch=False):
+                    patch=False, grid_encode=None):
     """Returns jitted step(prior_params, opt_state, linf_params, vgg_params,
-    batch) -> (prior_params, opt_state, metrics)."""
+    batch) -> (prior_params, opt_state, metrics).
+
+    grid_encode: use the separable-grid info fast path for the FROZEN
+    encodes (query_log_p_grid — both encode targets sit under
+    stop_gradient, so the non-differentiable fast form is legal).  None
+    (auto) enables it for pixel models on rank-4 coord batches — the
+    -fast wrappers' grids and their contiguous crops are always
+    separable; pass False for exotic non-separable rank-4 query sets."""
     dn = data_norm or {"inp": {"sub": [0.5], "div": [0.5]},
                        "gt": {"sub": [0.5], "div": [0.5]}}
     inp_sub = jnp.asarray(dn["inp"]["sub"], jnp.float32)
@@ -36,9 +43,14 @@ def make_train_step(linf_model, prior_model, vgg_model, optimizer,
         feat = jax.lax.stop_gradient(linf_model.gen_feat(linf_params, inp))
         coord, cell = batch["coord"], batch["cell"]
 
+        use_grid = grid_encode
+        if use_grid is None:
+            use_grid = not patch and coord.ndim == 4
+        encode = (linf_model.query_log_p_grid if use_grid
+                  else linf_model.query_log_p)
+
         gt_key = "gt_lr_up"
-        _, z_lr = linf_model.query_log_p(linf_params, inp, feat, coord, cell,
-                                         batch[gt_key])
+        _, z_lr = encode(linf_params, inp, feat, coord, cell, batch[gt_key])
         z_lr = jax.lax.stop_gradient(z_lr)
 
         # key: stochastic-depth RNG for priors that use it (swin_latent's
@@ -55,8 +67,7 @@ def make_train_step(linf_model, prior_model, vgg_model, optimizer,
         latent_l = jnp.float32(0.0)
         if latent_weight > 0:
             tgt = batch["gt_patch"] if patch else batch["gt_pixel"]
-            _, z_hr = linf_model.query_log_p(linf_params, inp, feat, coord, cell,
-                                             tgt)
+            _, z_hr = encode(linf_params, inp, feat, coord, cell, tgt)
             latent_l = l1(z_learned, jax.lax.stop_gradient(z_hr))
 
         vgg_l = jnp.float32(0.0)

@@ -95,3 +95,48 @@ def test_train_step(rng):
     assert float(mets["vgg_l"]) > 0
     p1 = jax.tree_util.tree_leaves(new_params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_train_step_grid_encode_matches_gather():
+    """The separable-grid frozen-encode fast path (late r5) must match the
+    gather path bit-for-tolerance on exactly the coord sets the trainers
+    see: a full make_coord grid AND a contiguous crop of one (the -fast
+    wrappers crop an LR-sized query window out of the HR grid —
+    separability survives cropping).  Compares per-step metrics and
+    updated prior params between grid_encode=True and =False."""
+    rng = np.random.default_rng(7)
+    m = small_linf()
+    prior = registry.make({"name": "unet", "args": {
+        "in_chans": 3, "depth": 2, "dim": 8, "bilinear": True}})
+    optimizer = make_optimizer({"name": "adam", "args": {"lr": 1e-3}})
+
+    full = np.asarray(make_coord_np((16, 16), flatten=False))
+    crop = full[3:11, 5:13]  # contiguous window: still separable
+    for grid in (full[:8, :8], crop):
+        coord = jnp.broadcast_to(jnp.asarray(grid)[None], (2, 8, 8, 2))
+        batch = {
+            "inp": jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32)),
+            "coord": coord,
+            "cell": jnp.broadcast_to(jnp.asarray(make_cell((16, 16)))[None],
+                                     (2, 2)),
+            "gt": jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32)),
+            "gt_lr_up": jnp.asarray(
+                (rng.random((2, 8, 8, 3)) - 0.5).astype(np.float32)),
+            "gt_pixel": jnp.asarray(
+                (rng.random((2, 8, 8, 3)) - 0.5).astype(np.float32)),
+        }
+        outs = {}
+        for name, flag in (("grid", True), ("gather", False)):
+            step = make_train_step(m, prior, None, optimizer,
+                                   vgg_weight=0.0, latent_weight=1.0,
+                                   grid_encode=flag)
+            ps, _, mets = step(prior.params, optimizer.init(prior.params),
+                               m.params, {}, batch)
+            outs[name] = (ps, mets)
+        np.testing.assert_allclose(float(outs["grid"][1]["latent_l"]),
+                                   float(outs["gather"][1]["latent_l"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(outs["grid"][0]),
+                        jax.tree_util.tree_leaves(outs["gather"][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
