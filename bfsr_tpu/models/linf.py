@@ -149,7 +149,7 @@ def _mlp_apply_cm(params, features, pad_rows):
 
 
 def linf_affine_info_grid(params, feat, coord_y, coord_x, cell, hidden_dim,
-                          channel_major_rows=0):
+                          channel_major_rows=0, fast_sincos=False):
     """Separable fast path for *regular* query grids.
 
     coord_y: (B, Hq) per-row height coords; coord_x: (B, Wq) per-column
@@ -157,6 +157,11 @@ def linf_affine_info_grid(params, feat, coord_y, coord_x, cell, hidden_dim,
     coord[b,i,j,1] only with j — true for every make_coord-derived grid the
     eval paths use).  The 4-corner lookups become two axis slice-gathers
     per map instead of a 2-D gather — near-streaming HBM traffic on TPU.
+
+    fast_sincos: compute the Fourier basis with the Pallas info kernel's
+    polynomial sincos (~11 VPU cycles/elem vs the native transcendental
+    sequence's ~29; max err ~1e-7) — opt-in so the default eval path's
+    numerics/compile-cache keys stay bit-stable.
     """
     B, h, w, _ = feat.shape
     coef = fnn.conv2d(feat, params["coef"])
@@ -197,8 +202,13 @@ def linf_affine_info_grid(params, feat, coord_y, coord_x, cell, hidden_dim,
             f = (freq_[..., :half] * rel_y[:, :, None, None]
                  + freq_[..., half:] * rel_x[:, None, :, None])
             f = f + phase
-            basis = jnp.concatenate([jnp.cos(math.pi * f), jnp.sin(math.pi * f)],
-                                    axis=-1)
+            if fast_sincos:
+                from bfsr_tpu.ops.pallas.linf_info import _sincos_pi
+
+                cf, sf = _sincos_pi(f)
+            else:
+                cf, sf = jnp.cos(math.pi * f), jnp.sin(math.pi * f)
+            basis = jnp.concatenate([cf, sf], axis=-1)
             area = jnp.abs(rel_y[:, :, None] * rel_x[:, None, :]) + 1e-9
             pieces.append((coef_, basis, area))
             idx += 1

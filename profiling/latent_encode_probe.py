@@ -107,8 +107,19 @@ def main():
         return (za_cm[:model.dim].T.reshape(sh),
                 zb_cm[:model.dim].T.reshape(sh))
 
+    def grid2_fastsin(p, f, gta, gtb):
+        ia = linf_affine_info_grid(p, f, coord_y, coord_x, cell,
+                                   model.hidden_dim, fast_sincos=True)
+        za, _ = pwf.forward(p["imnet"], gta.reshape(-1, model.dim),
+                            ia.reshape(-1, ia.shape[-1]))
+        zb, _ = pwf.forward(p["imnet"], gtb.reshape(-1, model.dim),
+                            ia.reshape(-1, ia.shape[-1]))
+        sh = (B, Hh, Hh, model.dim)
+        return za.reshape(sh), zb.reshape(sh)
+
     forms = {"gather2": jax.jit(gather2), "grid2": jax.jit(grid2),
-             "grid_shared": jax.jit(grid_shared)}
+             "grid_shared": jax.jit(grid_shared),
+             "grid2_fastsin": jax.jit(grid2_fastsin)}
     if jax.default_backend() == "tpu":
         forms["grid_pallas"] = jax.jit(grid_pallas)
     outs = {}
