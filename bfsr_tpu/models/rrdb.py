@@ -32,7 +32,7 @@ def _init_dense_block(key, nf, gc, gain=0.1):
     }
 
 
-def _dense_block(x, p):
+def _dense_block(x, p, mask=None):
     """Scatter-form dense block (reference RRDBNet_arch.py ResidualDenseBlock
     order: 5 narrow gather convs over growing concats).  Mathematically the
     same sums, reassociated: each produced tensor does ONE wide conv to all
@@ -40,7 +40,12 @@ def _dense_block(x, p):
     contributing to up to 5 narrow 32-out convs — <=64-out convs run at
     3-17 TF/s on this chip vs ~40 at >=128 out (CLAUDE.md).  Each wide conv
     is 9 accumulated shifted matmuls (im2col materialization is
-    bandwidth-bound; lax.conv lowers ~1.4x slower at these shapes)."""
+    bandwidth-bound; lax.conv lowers ~1.4x slower at these shapes).
+
+    mask: batch-to-space halo mask (see _trunk_scan) — re-zeroes the
+    1-px tile rings before every conv so the mosaic-plane conv is
+    exactly the per-image SAME-pad conv (ring outputs are cross-tile
+    garbage and get re-zeroed before the next conv)."""
     nf = p["conv1"]["w"].shape[2]
     gc = p["conv1"]["w"].shape[3]
     couts = [gc, gc, gc, gc, nf]
@@ -61,7 +66,7 @@ def _dense_block(x, p):
             acc[k] = v if acc[k] is None else acc[k] + v
             off += couts[k]
 
-    spread(0, fnn.conv3x3_y3(x, ws[0]))
+    spread(0, fnn.conv3x3_y3(x if mask is None else x * mask, ws[0]))
     for j in range(1, 5):
         t = acc[j - 1] if bs[j - 1] is None else acc[j - 1] + bs[j - 1]
         # name the pre-activations so the training remat policy can save
@@ -69,24 +74,71 @@ def _dense_block(x, p):
         # backward recomputes only pad/concat glue, never the forward
         # matmuls (see _trunk_scan)
         t = checkpoint_name(t, "rrdb_act")
-        spread(j, fnn.conv3x3_y3(fnn.leaky_relu(t), ws[j]))
+        a = fnn.leaky_relu(t)
+        spread(j, fnn.conv3x3_y3(a if mask is None else a * mask, ws[j]))
     x5 = acc[4] if bs[4] is None else acc[4] + bs[4]
     x5 = checkpoint_name(x5, "rrdb_act")
     return x5 * 0.2 + x
 
 
-def _rrdb_block(x, p):
-    out = _dense_block(x, p["rdb1"])
-    out = _dense_block(out, p["rdb2"])
-    out = _dense_block(out, p["rdb3"])
+def _rrdb_block(x, p, mask=None):
+    out = _dense_block(x, p["rdb1"], mask)
+    out = _dense_block(out, p["rdb2"], mask)
+    out = _dense_block(out, p["rdb3"], mask)
     return out * 0.2 + x
 
 
-def _trunk_scan(trunk_params, fea):
+def _b2s_plan(shape):
+    """Batch-to-space plan for small-extent multi-image trunks: pack the
+    B images into one plane of (H+2)x(W+2) tiles with a 1-px zero ring
+    each.  The trunk convs then run at a large extent (b12 40^2: fwd
+    10.6 -> ~14 TF/s, bwd 1.55x — profiling/trunk_train_form_probe.py
+    --b2s-only; output is bit-exact because rings are re-zeroed before
+    every conv).  Returns (pack, unpack, mask); MAC overhead is
+    (H+2)(W+2)/HW (~10% at 40^2) + one mask multiply per conv."""
+    import numpy as np
+
+    b, h, w = shape[0], shape[1], shape[2]
+    cols = int(np.ceil(np.sqrt(b)))
+    rows = -(-b // cols)
+    th, tw = h + 2, w + 2
+    m = np.zeros((rows * th, cols * tw, 1), np.float32)
+    for r in range(rows):
+        for c in range(cols):
+            m[r * th + 1: r * th + th - 1, c * tw + 1: c * tw + tw - 1] = 1.0
+    mask = jnp.asarray(m)[None]
+
+    def pack(x):
+        ch = x.shape[-1]
+        y = jnp.pad(x, ((0, rows * cols - b), (1, 1), (1, 1), (0, 0)))
+        y = y.reshape(rows, cols, th, tw, ch).transpose(0, 2, 1, 3, 4)
+        return y.reshape(1, rows * th, cols * tw, ch)
+
+    def unpack(y):
+        ch = y.shape[-1]
+        z = y.reshape(y.shape[:-4] + (rows, th, cols, tw, ch))
+        z = jnp.moveaxis(z, -3, -4)  # rows, cols, th, tw, ch
+        z = z.reshape(y.shape[:-4] + (rows * cols, th, tw, ch))
+        return z[..., :b, 1:-1, 1:-1, :]
+
+    return pack, unpack, mask
+
+
+def _use_b2s_trunk(x):
+    """Gate the batch-to-space trunk: multi-image batches at small
+    extents (the training regime; measured b12 40^2).  B=1 eval extents
+    already run at the form ceiling.  BFSR_RRDB_B2S=0 disables."""
+    if os.environ.get("BFSR_RRDB_B2S", "1") == "0":
+        return False
+    return x.shape[0] >= 4 and x.shape[1] <= 64 and x.shape[2] <= 64
+
+
+def _trunk_scan(trunk_params, fea, mask=None):
     """Run the 23 identical RRDB blocks as a lax.scan: one compiled block
     body instead of 23 unrolled copies (the scatter-form block is ~135
     matmul ops; unrolling all blocks made XLA compiles take minutes).
-    Returns (trunk_out, per_block_outputs stacked on axis 0)."""
+    Returns (trunk_out, per_block_outputs stacked on axis 0).  mask:
+    batch-to-space halo mask threaded to every conv (see _b2s_plan)."""
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                      *trunk_params)
 
@@ -101,18 +153,29 @@ def _trunk_scan(trunk_params, fea):
     #     forward matmuls.
     #   full — plain jax.checkpoint (recompute the whole block forward);
     #     the minimum-memory fallback.
+    blk = _rrdb_block if mask is None else (
+        lambda x, p: _rrdb_block(x, p, mask))
     if os.environ.get("BFSR_RRDB_REMAT", "acts") == "acts":
         ckpt_fn = jax.checkpoint(
-            _rrdb_block,
+            blk,
             policy=jax.checkpoint_policies.save_only_these_names("rrdb_act"))
     else:
-        ckpt_fn = jax.checkpoint(_rrdb_block)
+        ckpt_fn = jax.checkpoint(blk)
 
     def body(t, bp):
         t2 = ckpt_fn(t, bp)
         return t2, t2
 
     return jax.lax.scan(body, fea, stacked)
+
+
+def _trunk_scan_b2s(trunk_params, fea):
+    """Batch-to-space trunk scan: (trunk_out unpacked, packed per-block
+    outputs + their unpack fn) — taps are unpacked lazily by the caller
+    so unused blocks cost nothing."""
+    pack, unpack, mask = _b2s_plan(fea.shape)
+    t, ys = _trunk_scan(trunk_params, pack(fea), mask)
+    return unpack(t), ys, unpack
 
 
 # -- space-to-depth Pallas trunk (B=1 TPU inference) -------------------------
@@ -208,7 +271,10 @@ def rrdb_encode(params, x, fast=None):
     fea = fnn.conv2d(x, params["conv_first"])
     if _use_s2d_trunk(x, fast):
         return _trunk_s2d(params, fea)
-    t, _ = _trunk_scan(params["trunk"], fea)
+    if _use_b2s_trunk(fea):
+        t, _, _ = _trunk_scan_b2s(params["trunk"], fea)
+    else:
+        t, _ = _trunk_scan(params["trunk"], fea)
     trunk = fnn.conv2d(t, params["trunk_conv"])
     return fea + trunk
 
@@ -234,6 +300,12 @@ def rrdb_apply_steps(params, x, scale=4, block_idxs=(), fea_up0=False, fea_upm1=
         trunk_s = s2d.conv3x3_s2d([t], w, bias=params["trunk_conv"].get("b"),
                                   interpret=interpret)
         last_lr_fea = s2d.depth_to_space(xs + trunk_s)
+    elif _use_b2s_trunk(fea):
+        t, ys, unpack = _trunk_scan_b2s(params["trunk"], fea)
+        for idx in block_idxs:
+            block_results[f"block_{idx}"] = unpack(ys[idx])
+        trunk = fnn.conv2d(t, params["trunk_conv"])
+        last_lr_fea = fea + trunk
     else:
         t, ys = _trunk_scan(params["trunk"], fea)
         for idx in block_idxs:

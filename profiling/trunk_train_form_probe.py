@@ -91,6 +91,86 @@ def _narrow_y3_conv(x, p):
     return y if b is None else y + b
 
 
+def _dense_block_masked(mask):
+    """Production scatter block with every conv INPUT re-zeroed on the
+    tile halo rings — the batch-to-space invariant: rings = 0 before a
+    conv makes the big-plane conv exactly the per-image SAME-pad conv
+    (ring outputs are garbage from neighboring tiles and get re-zeroed
+    before the next conv; the final crop discards them)."""
+
+    def block(x, p):
+        nf = p["conv1"]["w"].shape[2]
+        gc = p["conv1"]["w"].shape[3]
+        couts = [gc, gc, gc, gc, nf]
+        cins = [nf, gc, gc, gc, gc]
+        offs = [0, nf, nf + gc, nf + 2 * gc, nf + 3 * gc]
+        ws = [jnp.concatenate(
+            [p[f"conv{k+1}"]["w"][:, :, offs[j]:offs[j] + cins[j], :]
+             for k in range(j, 5)], axis=-1) for j in range(5)]
+        bs = [p[f"conv{k+1}"].get("b") for k in range(5)]
+        acc = [None] * 5
+
+        def spread(j, y):
+            off = 0
+            for k in range(j, 5):
+                v = y[..., off:off + couts[k]]
+                acc[k] = v if acc[k] is None else acc[k] + v
+                off += couts[k]
+
+        spread(0, fnn.conv3x3_y3(x * mask, ws[0]))
+        for j in range(1, 5):
+            t = acc[j - 1] if bs[j - 1] is None else acc[j - 1] + bs[j - 1]
+            t = checkpoint_name(t, "rrdb_act")
+            spread(j, fnn.conv3x3_y3(fnn.leaky_relu(t) * mask, ws[j]))
+        x5 = acc[4] if bs[4] is None else acc[4] + bs[4]
+        x5 = checkpoint_name(x5, "rrdb_act")
+        return x5 * 0.2 + x
+
+    return block
+
+
+def trunk_fn_b2s(b, hw, cols=4):
+    """Batch-to-space: pack the b small images into one plane of
+    (hw+2)^2 tiles (1-px zero ring each), run the production scatter
+    trunk on the plane with ring re-zeroing, crop back.  Attacks the
+    EXTENT (b12 40^2 runs the trunk at 10.6 TF/s vs 19.6 at 128^2+)
+    at a (hw+2)^2/hw^2 ~ 10% MAC overhead + one mask multiply per conv."""
+    rows = -(-b // cols)
+    T = hw + 2
+    m = np.zeros((rows * T, cols * T, 1), np.float32)
+    for r in range(rows):
+        for c in range(cols):
+            m[r * T + 1: r * T + T - 1, c * T + 1: c * T + T - 1] = 1.0
+    mask = jnp.asarray(m)[None]
+    block = _dense_block_masked(mask)
+
+    def rrdb(x, p):
+        o = block(x, p["rdb1"])
+        o = block(o, p["rdb2"])
+        o = block(o, p["rdb3"])
+        return o * 0.2 + x
+
+    ckpt = jax.checkpoint(
+        rrdb, policy=jax.checkpoint_policies.save_only_these_names("rrdb_act"))
+
+    def run(params, fea):
+        C = fea.shape[-1]
+        x = jnp.pad(fea, ((0, rows * cols - b), (1, 1), (1, 1), (0, 0)))
+        x = x.reshape(rows, cols, T, T, C).transpose(0, 2, 1, 3, 4)
+        x = x.reshape(1, rows * T, cols * T, C)
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params)
+
+        def body(t, bp):
+            return ckpt(t, bp), None
+
+        out, _ = jax.lax.scan(body, x, stacked)
+        y = out.reshape(rows, T, cols, T, C).transpose(0, 2, 1, 3, 4)
+        y = y.reshape(rows * cols, T, T, C)
+        return y[:b, 1:-1, 1:-1, :]
+
+    return run
+
+
 def trunk_fn(block):
     def rrdb(x, p):
         o = block(x, p["rdb1"])
@@ -119,6 +199,8 @@ def main():
     ap.add_argument("--hw", type=int, default=40)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--n", type=int, default=5)
+    ap.add_argument("--b2s-only", action="store_true",
+                    help="race only scatter vs b2s-mosaic (2 compiles)")
     args = ap.parse_args()
 
     rng = jax.random.PRNGKey(0)
@@ -138,7 +220,11 @@ def main():
         "narrow-lax": trunk_fn(_make_narrow(
             lambda x, p: fnn.conv2d(x, p))),
         "narrow-y3 ": trunk_fn(_make_narrow(_narrow_y3_conv)),
+        "b2s-mosaic": trunk_fn_b2s(args.b, args.hw),
     }
+    if args.b2s_only:
+        forms = {k: v for k, v in forms.items()
+                 if k in ("scatter   ", "b2s-mosaic")}
 
     jits = {}
     for name, fn in forms.items():

@@ -148,3 +148,43 @@ def test_batch_norm_running_stats_match_torch(rng):
                                tbn.running_mean.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(new_var),
                                tbn.running_var.numpy(), atol=1e-6)
+
+
+def test_rrdb_b2s_trunk_matches_plain(rng, monkeypatch):
+    """The batch-to-space trunk (multi-image small-extent training gate,
+    late r5) must be BIT-exact vs the per-image scan: rings are re-zeroed
+    before every conv, so the mosaic-plane convs see exactly the SAME-pad
+    neighborhoods.  Covers trunk features, per-block taps, the fea_up*
+    pyramid, AND grads (the unfrozen trainer differentiates through the
+    taps)."""
+    from bfsr_tpu.models.rrdb import init_rrdb, rrdb_apply_steps, rrdb_encode
+
+    params = init_rrdb(jax.random.PRNGKey(3), nf=16, nb=2, gc=8, scale=4,
+                       upsampling=True)
+    x = jnp.asarray(rng.random((5, 9, 10, 3)).astype(np.float32))
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("BFSR_RRDB_B2S", flag)
+        enc = rrdb_encode(params, x)
+        steps = rrdb_apply_steps(params, x, scale=4, block_idxs=(0, 1),
+                                 fea_up0=True)
+
+        def loss(p):
+            r = rrdb_apply_steps(p, x, scale=4, block_idxs=(1,))
+            return (jnp.sum(r["last_lr_fea"] ** 2)
+                    + jnp.sum(r["block_1"] ** 2))
+
+        g = jax.grad(loss)(params)
+        outs[flag] = (enc, steps, g)
+
+    enc0, steps0, g0 = outs["0"]
+    enc1, steps1, g1 = outs["1"]
+    np.testing.assert_array_equal(np.asarray(enc0), np.asarray(enc1))
+    for k in steps0:
+        np.testing.assert_array_equal(np.asarray(steps0[k]),
+                                      np.asarray(steps1[k]), err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
